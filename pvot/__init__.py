@@ -1,0 +1,28 @@
+"""pvot — TPU-native parallel video object tracker.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of the reference
+CUDA tracker (askEric0/Parallel-Video-Object-Tracker): NCC template-matching
+single-object tracking with interchangeable compute backends, a sequential
+bbox/adaptive-template state machine with lost-object global re-acquisition,
+look-ahead frame batching, interactive & recording CLI modes, and FPS
+instrumentation.  See SURVEY.md for the reference analysis this was built to.
+"""
+
+from pvot.config import DEFAULT_CONFIG, WINDOWS_TREE_CONFIG, TrackerConfig
+from pvot.tracker.state import StepOutput, TrackerState, init_state
+from pvot.tracker.step import make_step
+from pvot.tracker.scan import track_video, track_video_batched
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "TrackerConfig",
+    "DEFAULT_CONFIG",
+    "WINDOWS_TREE_CONFIG",
+    "TrackerState",
+    "StepOutput",
+    "init_state",
+    "make_step",
+    "track_video",
+    "track_video_batched",
+]

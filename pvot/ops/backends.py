@@ -1,0 +1,97 @@
+"""NCC backend registry.
+
+The reference exposes five interchangeable NCC backends selected by CLI flag
+(tracker_ghc/src/main.cpp:63-75, README.md:56-86).  Their TPU-native
+equivalents (SURVEY.md §2e):
+
+  reference mode      TPU backend        implementation
+  --------------      -----------        --------------
+  (default, "cuda")   "xla"              XLA conv-based NCC (compiler-tiled
+                                         onto the MXU — the 'let XLA do it'
+                                         analog of the naive kernel)
+  --cpu               "cpu"              cv::matchTemplate(TM_CCOEFF_NORMED)
+                                         parity math, pure JAX
+  --shared            "pallas"           Pallas kernel, template resident in
+                                         VMEM (shared/const-memory analog)
+  --const             "pallas"           alias of the above — on TPU there is
+                                         no separate constant memory; VMEM
+                                         residency covers both
+  --const_tiled       "pallas"           same kernel; frame tiles are staged
+                                         through VMEM by the BlockSpec
+                                         pipeline (the tiled analog)
+  --batch=N           any + batching     leading frame axis (vmap) — see
+                                         pvot.tracker.scan
+
+Every backend provides (full_fn, region_fn):
+  full_fn(frame, templ, t_mean, t_std) -> full NCC map (global search/parity)
+  region_fn(frame, templ, t_mean, t_std, x0, y0) -> fixed-size candidate
+      region scores (the fused local fast path)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+from pvot.config import TrackerConfig
+from pvot.ops.ncc_reference import ncc_map_opencv, ncc_map_reference
+from pvot.tracker import step as step_mod
+
+# Reference CLI mode name -> backend name.
+MODE_TO_BACKEND = {
+    "cuda": "xla",
+    "naive": "xla",
+    "xla": "xla",
+    "cpu": "cpu",
+    "shared": "pallas",
+    "const": "pallas",
+    "const_tiled": "pallas",
+    "pallas": "pallas",
+    "batch": "xla",
+    # Conv-based oracle (slow on TPU for large kernels; test/debug only).
+    "ref_conv": "ref_conv",
+}
+
+
+def _opencv_full(frame, templ, t_mean, t_std):
+    del t_mean, t_std  # TM_CCOEFF_NORMED normalizes differently
+    return ncc_map_opencv(frame, templ)
+
+
+def get_backend(
+    name: str,
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+) -> Tuple[Callable, Callable]:
+    """Resolve a backend name to (full_fn, region_fn)."""
+    span_x = 2 * config.search_radius_x + 1
+    span_y = 2 * config.search_radius_y + 1
+    name = MODE_TO_BACKEND.get(name, name)
+    if name == "xla":
+        # MXU matmul formulation — XLA's direct large-kernel conv lowering
+        # never reaches the MXU on TPU (measured ~0.3 GFLOP/s), so "xla"
+        # means "XLA ops arranged the TPU way", not "naive conv".
+        from pvot.ops.ncc_matmul import make_full_fn, make_region_fn
+
+        return make_full_fn(strip_rows=128), make_region_fn(span_x, span_y)
+    if name == "ref_conv":
+        return ncc_map_reference, step_mod.default_region_fn(span_x, span_y)
+    if name == "cpu":
+
+        def region_fn(frame, templ, t_mean, t_std, x0, y0):
+            import jax.numpy as jnp
+            from jax import lax
+
+            th, tw = templ.shape
+            region = lax.dynamic_slice(frame, (y0, x0), (span_y + th - 1, span_x + tw - 1))
+            return ncc_map_opencv(region, templ)
+
+        return _opencv_full, region_fn
+    if name == "pallas":
+        from pvot.ops.ncc_pallas import pallas_full_fn, pallas_region_fn
+
+        return (
+            pallas_full_fn(frame_shape, templ_shape),
+            pallas_region_fn(frame_shape, templ_shape, (span_y, span_x)),
+        )
+    raise ValueError(f"unknown NCC backend: {name!r}")

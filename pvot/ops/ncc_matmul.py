@@ -1,0 +1,165 @@
+"""MXU-formulated NCC: im2col-x matmul + integral-image box sums.
+
+XLA's direct lowering of a valid conv with a template-sized (e.g. 80x80)
+kernel is catastrophically slow on TPU (~0.3 GFLOP/s measured — it never
+reaches the MXU), so this module reformulates the reference NCC math
+(tracker_ghc/src/baseline_kernel.cu:17-47, see pvot.ops.ncc_reference for the
+semantics) as operations the TPU executes at speed-of-light:
+
+  cross-correlation   im2col along x only:  X[y, dx, c] = img[y, dx+c]
+                      R1[y, dx, r] = X @ T^T           (one MXU matmul)
+                      cross[dy, dx] = sum_r R1[dy+r, dx, r]
+                      (cheap shifted adds on the VPU — th slices)
+
+  window sums         integral images (exclusive cumsum) -> each sliding
+                      box sum is 4 adds, O(1) per output pixel.
+
+The im2col buffer is (Y, outW, tw) f32; for big frames the y-axis is
+processed in strips so the buffer stays bounded.  f32 throughout with
+precision=HIGHEST on the matmul, preserving parity with the reference's f32
+device arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pvot.ops.ncc_reference import template_stats
+
+
+def _im2col_x(img: jax.Array, tw: int, out_w: int) -> jax.Array:
+    """(Y, W) -> (Y, out_w, tw) where result[y, dx, c] = img[y, dx + c].
+
+    Built from tw static slices; XLA fuses these into cheap copies.
+    """
+    cols = [lax.slice_in_dim(img, c, c + out_w, axis=1) for c in range(tw)]
+    return jnp.stack(cols, axis=-1)
+
+
+def cross_correlate(img: jax.Array, templ: jax.Array) -> jax.Array:
+    """Valid-mode cross-correlation via im2col-x + MXU matmul.
+
+    img (Y, W), templ (th, tw) -> (Y - th + 1, W - tw + 1).
+    Equivalent to pvot.ops.ncc_reference.corr2_valid but ~1000x faster on
+    TPU for template-sized kernels.
+    """
+    th, tw = templ.shape
+    y, w = img.shape
+    out_h = y - th + 1
+    out_w = w - tw + 1
+    x = _im2col_x(img, tw, out_w)  # (Y, out_w, tw)
+    # R1[y, dx, r] = sum_c X[y, dx, c] * T[r, c]
+    r1 = lax.dot_general(
+        x,
+        templ,
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )  # (Y, out_w, th)
+    # cross[dy, dx] = sum_r R1[dy + r, dx, r]
+    shifted = [
+        lax.slice(r1, (r, 0, r), (r + out_h, out_w, r + 1)).reshape(out_h, out_w)
+        for r in range(th)
+    ]
+    return jnp.sum(jnp.stack(shifted, axis=0), axis=0)
+
+
+def sliding_box_sums(
+    img: jax.Array, th: int, tw: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Sliding-window (sum, sum-of-squares) over all valid th x tw windows.
+
+    Integral-image formulation: an exclusive 2-D cumsum S gives every box sum
+    as S[y2,x2] - S[y1,x2] - S[y2,x1] + S[y1,x1] — O(1) per output instead of
+    the reference's O(N) per-thread loops (baseline_kernel.cu:22-29).
+    """
+    y, w = img.shape
+    out_h = y - th + 1
+    out_w = w - tw + 1
+
+    def box(values: jax.Array) -> jax.Array:
+        s = jnp.cumsum(jnp.cumsum(values, axis=0), axis=1)
+        s = jnp.pad(s, ((1, 0), (1, 0)))  # exclusive integral image
+        a = lax.slice(s, (th, tw), (th + out_h, tw + out_w))
+        b = lax.slice(s, (0, tw), (out_h, tw + out_w))
+        c = lax.slice(s, (th, 0), (th + out_h, out_w))
+        d = lax.slice(s, (0, 0), (out_h, out_w))
+        return a - b - c + d
+
+    return box(img), box(jnp.square(img))
+
+
+def ncc_map_matmul(
+    frame: jax.Array,
+    templ: jax.Array,
+    t_mean: jax.Array | None = None,
+    t_std: jax.Array | None = None,
+    strip_rows: int = 0,
+) -> jax.Array:
+    """Full NCC map with reference epsilon semantics, MXU formulation.
+
+    Matches pvot.ops.ncc_reference.ncc_map_reference to f32 accumulation
+    order (tests assert ~1e-5 agreement with the f64 oracle).
+
+    strip_rows > 0 processes the cross-correlation in y-strips of that many
+    output rows to bound the im2col buffer ((strip+th-1) * outW * tw * 4 B);
+    0 materializes one buffer for the whole frame.
+    """
+    frame = frame.astype(jnp.float32)
+    templ = templ.astype(jnp.float32)
+    if t_mean is None or t_std is None:
+        t_mean, t_std = template_stats(templ)
+    th, tw = templ.shape
+    n = float(th * tw)
+    fh, fw = frame.shape
+    out_h = fh - th + 1
+    out_w = fw - tw + 1
+
+    t_centered = templ - t_mean
+    if strip_rows and strip_rows < out_h:
+        pieces = []
+        for dy0 in range(0, out_h, strip_rows):
+            rows = min(strip_rows, out_h - dy0)
+            strip = lax.slice(frame, (dy0, 0), (dy0 + rows + th - 1, fw))
+            pieces.append(cross_correlate(strip, t_centered))
+        cov = jnp.concatenate(pieces, axis=0)
+    else:
+        cov = cross_correlate(frame, t_centered)
+
+    sums, ssq = sliding_box_sums(frame, th, tw)
+    mean = sums / n
+    var = ssq / n - jnp.square(mean)
+    std = jnp.sqrt(jnp.maximum(var, 1e-6))
+    denom = (std + 1e-6) * (t_std + 1e-6) * n
+    return cov / denom
+
+
+def make_full_fn(strip_rows: int = 128):
+    """Full-map NCC callable (frame, templ, t_mean, t_std) -> map, strip-wise."""
+
+    def full_fn(frame, templ, t_mean, t_std):
+        return ncc_map_matmul(frame, templ, t_mean, t_std, strip_rows=strip_rows)
+
+    return full_fn
+
+
+def make_region_fn(span_x: int, span_y: int):
+    """Fused local-search region scorer (the hot path).
+
+    Slices the (span + templ - 1)^2 neighborhood around the candidate window
+    and evaluates NCC only there — the ~50x work reduction the reference
+    leaves on the table (SURVEY.md §3.5)."""
+
+    def region_fn(frame, templ, t_mean, t_std, x0, y0):
+        th, tw = templ.shape
+        region = lax.dynamic_slice(
+            frame, (y0, x0), (span_y + th - 1, span_x + tw - 1)
+        )
+        return ncc_map_matmul(region, templ, t_mean, t_std)
+
+    return region_fn

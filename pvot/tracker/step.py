@@ -1,0 +1,206 @@
+"""The per-frame tracking step as a pure, scannable function.
+
+Ports the reference's sequential state machine (components C5-C8, SURVEY.md
+§2a; tracker_ghc/src/main.cpp:172-239 demo loop / :399-467 record loop) to a
+pure function `step(state, frame) -> (state, outputs)` suitable as a
+`jax.lax.scan` body.  All control flow is `lax.cond`/`jnp.where`; shapes are
+static per (frame size, template size, search radii), so XLA compiles one
+fused program per tracking run.
+
+Two search strategies, both bit-matching the reference's argmax semantics:
+
+  * "full"  — compute the full-frame NCC map and window-mask the argmax:
+    exactly the reference's flow (compute everything, read a window).
+  * "fused" — the TPU fast path: slice a fixed-size candidate region around
+    the bbox and compute NCC only there (~50x less work for 720p/80px,
+    SURVEY.md §3.5); global search still evaluates the full frame, but only
+    inside the rarely-taken `lax.cond` branch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pvot.config import TrackerConfig
+from pvot.ops import search as search_ops
+from pvot.ops.ncc_reference import ncc_map_reference, template_stats
+from pvot.tracker.state import StepOutput, TrackerState, is_bbox_outside_frame
+
+# An NCC "full map" callable: (frame, templ, t_mean, t_std) -> (outH, outW).
+NccFullFn = Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]
+# An NCC "region" callable: (frame, templ, t_mean, t_std, x0, y0) -> (span_y, span_x)
+# scoring map positions (y0+dy, x0+dx).
+NccRegionFn = Callable[..., jax.Array]
+
+
+def default_region_fn(span_x: int, span_y: int) -> NccRegionFn:
+    """Region scorer that slices the frame and runs the conv-based oracle on
+    the slice.  Work per frame: (span+t-1)^2 windows instead of the full
+    frame — the reference computes the full map and discards ~98% of it
+    (SURVEY.md §2b 'Host-device memory behavior')."""
+
+    def region_fn(frame, templ, t_mean, t_std, x0, y0):
+        th, tw = templ.shape
+        region = lax.dynamic_slice(
+            frame, (y0, x0), (span_y + th - 1, span_x + tw - 1)
+        )
+        return ncc_map_reference(region, templ, t_mean, t_std)
+
+    return region_fn
+
+
+def _ensure_f32(frame: jax.Array) -> jax.Array:
+    """Accept uint8 (scaled by 1/255, reference utils.hpp:4-13) or float32."""
+    if frame.dtype == jnp.uint8:
+        return frame.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return frame.astype(jnp.float32)
+
+
+def make_step(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig = TrackerConfig(),
+    ncc_full_fn: NccFullFn = ncc_map_reference,
+    ncc_region_fn: Optional[NccRegionFn] = None,
+    strategy: str = "fused",
+) -> Callable[[TrackerState, jax.Array], Tuple[TrackerState, StepOutput]]:
+    """Build the per-frame step for fixed frame/template geometry.
+
+    strategy:
+      "full"  — full-frame NCC every frame + masked window argmax (parity
+                with the reference's compute-everything flow).
+      "fused" — region-restricted NCC in local mode, full-frame only in
+                global mode (the fast path).
+    """
+    frame_h, frame_w = frame_shape
+    templ_h, templ_w = templ_shape
+    out_w = frame_w - templ_w + 1
+    out_h = frame_h - templ_h + 1
+    span_x = 2 * config.search_radius_x + 1
+    span_y = 2 * config.search_radius_y + 1
+    if strategy == "fused" and (out_w < span_x or out_h < span_y):
+        # Candidate region would exceed the NCC map: the local window can
+        # never be larger than the map, so fall back to full-map strategy.
+        strategy = "full"
+    if ncc_region_fn is None:
+        ncc_region_fn = default_region_fn(span_x, span_y)
+
+    # Keep these as Python scalars: eager jnp constants created here would be
+    # device arrays embedded as compiled-program constants, which the axon
+    # TPU runtime re-fetches on every call (~1.3 s/step measured).  Python
+    # scalars trace to inline HLO constants instead.
+    lr = float(config.template_update_lr)
+    min_conf = float(config.min_confidence)
+    global_conf = float(config.global_confidence)
+    strong_conf = float(config.strong_confidence)
+    lost_threshold = int(config.lost_frame_threshold)
+
+    def step(state: TrackerState, frame: jax.Array):
+        frame = _ensure_f32(frame)
+        # --- Mode selection (main.cpp:399-413) ----------------------------
+        bbox_outside = is_bbox_outside_frame(
+            state.bbox_x, state.bbox_y, state.bbox_w, state.bbox_h, frame_w, frame_h
+        )
+        cx = state.bbox_x + state.bbox_w // 2
+        cy = state.bbox_y + state.bbox_h // 2
+        use_global = state.use_global | bbox_outside | (state.lost_count >= lost_threshold)
+        bounds = search_ops.local_window_bounds(
+            cx, cy, templ_w, templ_h, out_w, out_h,
+            config.search_radius_x, config.search_radius_y,
+        )
+        # Window-collapse fallback also searches globally (main.cpp:439-446)
+        # but keeps the LOCAL confidence threshold (main.cpp:449 keys the
+        # threshold off use_global, not off which argmax ran).
+        global_argmax = use_global | ~bounds.valid
+
+        # --- NCC + argmax (main.cpp:414-446) ------------------------------
+        if strategy == "full":
+            ncc_map = ncc_full_fn(frame, state.template, state.t_mean, state.t_std)
+            best_val, best_x, best_y = lax.cond(
+                global_argmax,
+                lambda m: search_ops.argmax2d(m),
+                lambda m: search_ops.masked_window_argmax(m, bounds),
+                ncc_map,
+            )
+        else:
+
+            def do_global(frame, st):
+                ncc_map = ncc_full_fn(frame, st.template, st.t_mean, st.t_std)
+                return search_ops.argmax2d(ncc_map)
+
+            def do_local(frame, st):
+                x0, y0 = search_ops.region_origin(bounds, out_w, out_h, span_x, span_y)
+                scores = ncc_region_fn(frame, st.template, st.t_mean, st.t_std, x0, y0)
+                return search_ops.masked_region_argmax(scores, x0, y0, bounds)
+
+            best_val, best_x, best_y = lax.cond(global_argmax, do_global, do_local, frame, state)
+
+        # --- Confidence gate + bbox update (main.cpp:448-467) --------------
+        threshold = jnp.where(use_global, global_conf, min_conf)
+        accept = best_val >= threshold
+        new_bx = jnp.where(accept, best_x, state.bbox_x)
+        new_by = jnp.where(accept, best_y, state.bbox_y)
+        new_bw = jnp.where(accept, jnp.int32(templ_w), state.bbox_w)
+        new_bh = jnp.where(accept, jnp.int32(templ_h), state.bbox_h)
+        lost_count = jnp.where(accept, jnp.int32(0), state.lost_count + 1)
+        new_outside = is_bbox_outside_frame(new_bx, new_by, new_bw, new_bh, frame_w, frame_h)
+        use_global_next = jnp.where(accept & ~new_outside, jnp.bool_(False), use_global)
+
+        # --- Adaptive template EMA (main.cpp:460-463) ----------------------
+        strong = accept & (best_val >= strong_conf)
+        patch = lax.dynamic_slice(frame, (new_by, new_bx), (templ_h, templ_w))
+        new_template = jnp.where(
+            strong, (1.0 - lr) * state.template + lr * patch, state.template
+        )
+        t_mean, t_std = lax.cond(
+            strong,
+            lambda t: template_stats(t),
+            lambda _: (state.t_mean, state.t_std),
+            new_template,
+        )
+
+        new_state = TrackerState(
+            bbox_x=new_bx,
+            bbox_y=new_by,
+            bbox_w=new_bw,
+            bbox_h=new_bh,
+            template=new_template,
+            t_mean=t_mean,
+            t_std=t_std,
+            lost_count=lost_count,
+            use_global=use_global_next,
+        )
+        out = StepOutput(
+            bbox=jnp.stack([new_bx, new_by, new_bw, new_bh]),
+            score=best_val,
+            used_global=global_argmax,
+            updated=accept,
+        )
+        return new_state, out
+
+    return step
+
+
+@functools.lru_cache(maxsize=32)
+def jitted_step(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig = TrackerConfig(),
+    strategy: str = "fused",
+    backend: str = "xla",
+):
+    """Cached jit-compiled step for a given geometry (see pvot.ops.backends
+    for backend names)."""
+    from pvot.ops.backends import get_backend
+
+    full_fn, region_fn = get_backend(backend, frame_shape, templ_shape, config)
+    step = make_step(
+        frame_shape, templ_shape, config,
+        ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
+    )
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,210 @@
+"""End-to-end tracker tests (SURVEY.md §4 items b/c/d).
+
+The strongest oracle is a literal NumPy+OpenCV transcription of the
+reference's record_tracker loop (tracker_ghc/src/main.cpp:362-480) run in
+--cpu mode; the JAX tracker in "cpu" backend / "full" strategy must produce
+the identical bbox trajectory.  Then: scan == python loop, fused == full
+strategy, global re-acquisition recovers an exited target, and batch mode
+reproduces the reference's last-frame-only update semantics.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pvot.config import TrackerConfig
+from pvot.io.gray import gray_u8_to_f32
+from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+from pvot.tracker.scan import track_video, track_video_batched
+from pvot.tracker.state import init_state
+from pvot.tracker.step import make_step
+
+cv2 = pytest.importorskip("cv2")
+
+CFG = TrackerConfig()
+
+
+def reference_tracker_emulator(frames_u8, roi, cfg=CFG, mode="cpu", batch_size=0):
+    """Literal transcription of the reference tracking loop, --cpu mode
+    (tracker_ghc/src/main.cpp:362-480).  frames_u8: (F, H, W) uint8; frame 0
+    holds the template ROI; tracking starts at frame 1."""
+    x, y, w, h = roi
+    frame_gray = gray_u8_to_f32(frames_u8[0])
+    templ = frame_gray[y : y + h, x : x + w].copy()
+    bbox = list(roi)
+    lost = 0
+    use_global = False
+    traj, scores = [], []
+    batch_frames = []
+    for i in range(1, len(frames_u8)):
+        frame_gray = gray_u8_to_f32(frames_u8[i])
+        fh, fw = frame_gray.shape
+        th, tw = templ.shape
+        if mode == "batch":
+            batch_frames.append(frame_gray)
+            if len(batch_frames) < batch_size:
+                traj.append(tuple(bbox))
+                scores.append(None)
+                continue
+            ncc = cv2.matchTemplate(batch_frames[-1], templ, cv2.TM_CCOEFF_NORMED)
+            batch_frames = []
+        else:
+            ncc = cv2.matchTemplate(frame_gray, templ, cv2.TM_CCOEFF_NORMED)
+        out_h, out_w = ncc.shape
+        cx, cy = bbox[0] + bbox[2] // 2, bbox[1] + bbox[3] // 2
+        outside = (
+            cx < 0 or cx >= fw or cy < 0 or cy >= fh
+            or bbox[0] + bbox[2] < 0 or bbox[0] >= fw
+            or bbox[1] + bbox[3] < 0 or bbox[1] >= fh
+        )
+        if outside or lost >= cfg.lost_frame_threshold:
+            use_global = True
+        if use_global:
+            _, best_val, _, best_loc = cv2.minMaxLoc(ncc)
+        else:
+            min_tx = max(0, cx - cfg.search_radius_x - tw // 2)
+            max_tx = min(out_w - 1, cx + cfg.search_radius_x - tw // 2)
+            min_ty = max(0, cy - cfg.search_radius_y - th // 2)
+            max_ty = min(out_h - 1, cy + cfg.search_radius_y - th // 2)
+            if max_tx >= min_tx and max_ty >= min_ty:
+                roi_map = ncc[min_ty : max_ty + 1, min_tx : max_tx + 1]
+                _, best_val, _, loc = cv2.minMaxLoc(roi_map)
+                best_loc = (loc[0] + min_tx, loc[1] + min_ty)
+            else:
+                _, best_val, _, best_loc = cv2.minMaxLoc(ncc)
+        threshold = cfg.global_confidence if use_global else cfg.min_confidence
+        if best_val >= threshold:
+            bbox = [best_loc[0], best_loc[1], tw, th]
+            lost = 0
+            ncx, ncy = bbox[0] + bbox[2] // 2, bbox[1] + bbox[3] // 2
+            n_outside = (
+                ncx < 0 or ncx >= fw or ncy < 0 or ncy >= fh
+                or bbox[0] + bbox[2] < 0 or bbox[0] >= fw
+                or bbox[1] + bbox[3] < 0 or bbox[1] >= fh
+            )
+            if not n_outside:
+                use_global = False
+            if best_val >= cfg.strong_confidence:
+                patch = frame_gray[bbox[1] : bbox[1] + th, bbox[0] : bbox[0] + tw]
+                templ = cv2.addWeighted(
+                    templ, 1 - cfg.template_update_lr, patch, cfg.template_update_lr, 0.0
+                )
+        else:
+            lost += 1
+        traj.append(tuple(bbox))
+        scores.append(best_val)
+    return traj, scores
+
+
+def _init(video, spec):
+    x, y, w, h = target_bbox(spec, 0)
+    roi = (x, y, w, h)
+    templ = gray_u8_to_f32(video[0])[y : y + h, x : x + w]
+    return roi, init_state(jnp.asarray(templ), roi)
+
+
+def test_trajectory_matches_reference_emulator_cpu_mode(small_video, small_spec):
+    roi, state = _init(small_video, small_spec)
+    want, _ = reference_tracker_emulator(small_video, roi)
+    _, out = track_video(
+        small_video[1:], state, CFG, strategy="full", backend="cpu"
+    )
+    got = [tuple(b) for b in np.asarray(out.bbox)]
+    assert got == want
+
+
+def test_tracker_follows_ground_truth(small_video, small_spec):
+    roi, state = _init(small_video, small_spec)
+    _, out = track_video(small_video[1:], state, CFG, strategy="fused", backend="xla")
+    bboxes = np.asarray(out.bbox)
+    for i, (bx, by, bw, bh) in enumerate(bboxes):
+        gx, gy, gw, gh = target_bbox(small_spec, i + 1)
+        assert abs(int(bx) - gx) <= 2 and abs(int(by) - gy) <= 2, (
+            f"frame {i+1}: got ({bx},{by}) want ({gx},{gy})"
+        )
+    assert np.asarray(out.updated).all()
+
+
+def test_scan_equals_python_loop(small_video, small_spec):
+    """lax.scan over the chunk must equal stepping frame by frame
+    (SURVEY.md §4 item d)."""
+    roi, state = _init(small_video, small_spec)
+    h, w = small_video.shape[1:]
+    th, tw = state.template.shape
+    step = make_step((h, w), (th, tw), CFG, strategy="fused")
+    loop_state = state
+    loop_bboxes = []
+    jstep = jax.jit(step)
+    for i in range(1, 21):
+        loop_state, o = jstep(loop_state, jnp.asarray(small_video[i]))
+        loop_bboxes.append(np.asarray(o.bbox))
+    _, out = track_video(small_video[1:21], state, CFG, strategy="fused", chunk_size=7)
+    np.testing.assert_array_equal(np.stack(loop_bboxes), np.asarray(out.bbox))
+
+
+def test_fused_equals_full_strategy(small_video, small_spec):
+    roi, state = _init(small_video, small_spec)
+    _, full = track_video(small_video[1:], state, CFG, strategy="full", backend="xla")
+    _, state2 = _init(small_video, small_spec), None
+    roi2, state2 = _init(small_video, small_spec)
+    _, fused = track_video(small_video[1:], state2, CFG, strategy="fused", backend="xla")
+    np.testing.assert_array_equal(np.asarray(full.bbox), np.asarray(fused.bbox))
+    # Scores agree to f32 accumulation tolerance (the full path's integral
+    # images span the whole frame, the region path's only the slice).
+    np.testing.assert_allclose(
+        np.asarray(full.score), np.asarray(fused.score), atol=5e-5
+    )
+
+
+def test_global_reacquisition(reenter_video, reenter_spec):
+    """Target exits the frame and re-enters: the tracker must switch to
+    global search (C8, main.cpp:49-55,183-192) and re-acquire.
+
+    The bbox itself can never leave the NCC map, so the only route into
+    global mode is lost_count >= LOST_FRAME_THRESHOLD (main.cpp:183-185);
+    a low threshold keeps the clip short.
+    """
+    cfg = TrackerConfig(lost_frame_threshold=8)
+    roi, state = _init(reenter_video, reenter_spec)
+    final, out = track_video(reenter_video[1:], state, cfg, strategy="fused")
+    used_global = np.asarray(out.used_global)
+    assert used_global.any(), "global search never engaged"
+    # After re-entry the tracker should be locked on again near ground truth.
+    last = np.asarray(out.bbox)[-1]
+    gx, gy, _, _ = target_bbox(reenter_spec, reenter_spec.num_frames - 1)
+    assert abs(int(last[0]) - gx) <= 3 and abs(int(last[1]) - gy) <= 3
+    assert not bool(np.asarray(final.use_global))
+
+
+def test_batch_mode_parity_semantics(small_video, small_spec):
+    """--batch=N: first N-1 frames re-emit the previous bbox; the update uses
+    only the last frame's map (C10 quirk, main.cpp:385-397)."""
+    roi, state = _init(small_video, small_spec)
+    want, _ = reference_tracker_emulator(
+        small_video, roi, mode="batch", batch_size=4
+    )
+    roi2, state2 = _init(small_video, small_spec)
+    _, out = track_video_batched(
+        small_video[1:], state2, CFG, batch_size=4, strategy="full", backend="cpu"
+    )
+    got = [tuple(b) for b in np.asarray(out.bbox)]
+    assert got == want
+
+
+def test_batch_updates_once_per_batch():
+    """On a slow-moving target every batch's update lands (fast targets DO
+    overrun the search window after N frames of look-ahead — the reference's
+    documented batch-robustness loss, README.md:135 / Milestone PDF §4.2)."""
+    spec = SyntheticSpec(
+        width=320, height=240, num_frames=40, target_w=32, target_h=32,
+        seed=7, amplitude=0.3,
+    )
+    video = generate_gray_video(spec)
+    roi, state = _init(video, spec)
+    _, out = track_video_batched(video[1:], state, CFG, batch_size=4)
+    updated = np.asarray(out.updated)
+    n_frames = len(video) - 1
+    assert updated.sum() == n_frames // 4
+    assert updated.reshape(-1)[3::4][: n_frames // 4].all()
