@@ -1,0 +1,273 @@
+"""Multi-chip sharded tracking via jax.sharding.Mesh + shard_map.
+
+The reference is single-process/single-GPU with no communication backend
+(SURVEY.md §2e); scaling here is designed the TPU way instead of translating
+anything: a device mesh with named axes, explicit shardings, and XLA
+collectives over ICI.
+
+Two orthogonal parallel axes:
+
+  "data"    — independent video streams (pure data parallelism; each device
+              scans its own streams' tracker states).
+  "search"  — tensor-style parallelism INSIDE one NCC search: the candidate
+              window's rows are sliced across devices; each device scores its
+              slab and the global argmax is combined with an all_gather +
+              lexicographic reduction that preserves cv::minMaxLoc's
+              row-major first-occurrence tie-break.
+
+The combined step is the `dryrun_multichip` payload (see __graft_entry__.py):
+it jits under a Mesh with in/out shardings and runs one real step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pvot.config import TrackerConfig
+from pvot.ops import search as search_ops
+from pvot.ops.ncc_matmul import ncc_map_matmul
+from pvot.ops.ncc_reference import template_stats
+from pvot.tracker.state import StepOutput, TrackerState, is_bbox_outside_frame
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def make_search_sharded_step(
+    mesh: Mesh,
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig = TrackerConfig(),
+    data_axis: str = "data",
+    search_axis: str = "search",
+):
+    """Tracking step sharded over (streams x search-rows).
+
+    Inputs inside jit:
+      states: TrackerState with leading stream axis S (sharded over `data_axis`)
+      frames: (S, H, W) f32/u8 (sharded over `data_axis`, replicated over
+              `search_axis`)
+
+    Per stream, the local-search candidate window (span_y x span_x) is split
+    row-wise across `search_axis`: each device evaluates NCC on its slab via
+    the MXU matmul formulation, takes a local argmax, and the winners combine
+    with an all_gather.  Global (re-acquisition) search splits the full NCC
+    map the same way.  Row-major tie-breaking survives because slabs are
+    ordered by y and the combine prefers (val, -y, -x) lexicographically.
+    """
+    frame_h, frame_w = frame_shape
+    templ_h, templ_w = templ_shape
+    out_w = frame_w - templ_w + 1
+    out_h = frame_h - templ_h + 1
+    span_x = 2 * config.search_radius_x + 1
+    span_y = 2 * config.search_radius_y + 1
+    n_search = mesh.shape[search_axis]
+    slab_y = _ceil_to(span_y, n_search) // n_search  # candidate rows per device
+    full_slab = _ceil_to(out_h, n_search) // n_search  # global-map rows per device
+    lr = float(config.template_update_lr)
+
+    def _lex_combine(val, x, y, axis_name):
+        """all_gather winners and pick max val, ties -> smallest (y, x).
+
+        Row-major position fits int32: out_h * out_w < 2^31 for any frame
+        this tracker sees (checked at build time below)."""
+        vals = lax.all_gather(val, axis_name)  # (P,)
+        xs = lax.all_gather(x, axis_name)
+        ys = lax.all_gather(y, axis_name)
+        best = jnp.max(vals)
+        is_best = vals >= best
+        key = jnp.where(is_best, ys * out_w + xs, jnp.int32(2**31 - 1))
+        idx = jnp.argmin(key)
+        return vals[idx], xs[idx], ys[idx]
+
+    if out_h * out_w >= 2**31:
+        raise ValueError("NCC map too large for int32 position keys")
+
+    def _slab_scores_local(frame, templ, t_mean, t_std, x0, y0, my):
+        """Score this device's slab of the candidate window."""
+        slab_y0 = y0 + my * slab_y
+        # Clamp so the frame slice stays in bounds; masking fixes overlap.
+        slab_y0 = jnp.minimum(slab_y0, out_h - slab_y)
+        region = lax.dynamic_slice(
+            frame, (slab_y0, x0), (slab_y + templ_h - 1, span_x + templ_w - 1)
+        )
+        return ncc_map_matmul(region, templ, t_mean, t_std), slab_y0
+
+    def sharded_step(states: TrackerState, frames: jax.Array):
+        def per_shard(states, frames):
+            my = lax.axis_index(search_axis)
+
+            def one_stream(state: TrackerState, frame: jax.Array):
+                if frame.dtype == jnp.uint8:
+                    frame = frame.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+                bbox_outside = is_bbox_outside_frame(
+                    state.bbox_x, state.bbox_y, state.bbox_w, state.bbox_h,
+                    frame_w, frame_h,
+                )
+                cx = state.bbox_x + state.bbox_w // 2
+                cy = state.bbox_y + state.bbox_h // 2
+                use_global = (
+                    state.use_global
+                    | bbox_outside
+                    | (state.lost_count >= config.lost_frame_threshold)
+                )
+                bounds = search_ops.local_window_bounds(
+                    cx, cy, templ_w, templ_h, out_w, out_h,
+                    config.search_radius_x, config.search_radius_y,
+                )
+                global_argmax = use_global | ~bounds.valid
+
+                def do_local(frame, st):
+                    x0, y0 = search_ops.region_origin(
+                        bounds, out_w, out_h, span_x, span_y
+                    )
+                    scores, slab_y0 = _slab_scores_local(
+                        frame, st.template, st.t_mean, st.t_std, x0, y0, my
+                    )
+                    # Mask to both the true window AND this slab's share to
+                    # avoid double-counting clamp overlap.
+                    sy, sx = scores.shape
+                    yy = slab_y0 + lax.broadcasted_iota(jnp.int32, (sy, sx), 0)
+                    xx = x0 + lax.broadcasted_iota(jnp.int32, (sy, sx), 1)
+                    share_lo = y0 + my * slab_y
+                    mask = (
+                        (xx >= bounds.min_tx) & (xx <= bounds.max_tx)
+                        & (yy >= bounds.min_ty) & (yy <= bounds.max_ty)
+                        & (yy >= share_lo) & (yy < share_lo + slab_y)
+                    )
+                    v, rx, ry = search_ops.argmax2d(
+                        jnp.where(mask, scores, search_ops.NEG_INF)
+                    )
+                    return v, x0 + rx, slab_y0 + ry
+
+                def do_global(frame, st):
+                    gy0 = jnp.minimum(my * full_slab, out_h - full_slab)
+                    strip = lax.dynamic_slice(
+                        frame, (gy0, 0), (full_slab + templ_h - 1, frame_w)
+                    )
+                    scores = ncc_map_matmul(strip, st.template, st.t_mean, st.t_std)
+                    sy, sx = scores.shape
+                    yy = gy0 + lax.broadcasted_iota(jnp.int32, (sy, sx), 0)
+                    share_lo = my * full_slab
+                    mask = (yy >= share_lo) & (yy < share_lo + full_slab)
+                    v, rx, ry = search_ops.argmax2d(
+                        jnp.where(mask, scores, search_ops.NEG_INF)
+                    )
+                    return v, rx, gy0 + ry
+
+                lv, lx, ly = lax.cond(global_argmax, do_global, do_local, frame, state)
+                best_val, best_x, best_y = _lex_combine(lv, lx, ly, search_axis)
+
+                # Replicated state update (identical on every search shard).
+                threshold = jnp.where(
+                    use_global, config.global_confidence, config.min_confidence
+                )
+                accept = best_val >= threshold
+                new_bx = jnp.where(accept, best_x, state.bbox_x)
+                new_by = jnp.where(accept, best_y, state.bbox_y)
+                new_bw = jnp.where(accept, jnp.int32(templ_w), state.bbox_w)
+                new_bh = jnp.where(accept, jnp.int32(templ_h), state.bbox_h)
+                lost = jnp.where(accept, jnp.int32(0), state.lost_count + 1)
+                new_out = is_bbox_outside_frame(
+                    new_bx, new_by, new_bw, new_bh, frame_w, frame_h
+                )
+                use_global_next = jnp.where(
+                    accept & ~new_out, jnp.bool_(False), use_global
+                )
+                strong = accept & (best_val >= config.strong_confidence)
+                patch = lax.dynamic_slice(frame, (new_by, new_bx), (templ_h, templ_w))
+                new_template = jnp.where(
+                    strong, (1.0 - lr) * state.template + lr * patch, state.template
+                )
+                t_mean, t_std = lax.cond(
+                    strong,
+                    lambda t: template_stats(t),
+                    lambda _: (state.t_mean, state.t_std),
+                    new_template,
+                )
+                new_state = TrackerState(
+                    new_bx, new_by, new_bw, new_bh,
+                    new_template, t_mean, t_std, lost, use_global_next,
+                )
+                out = StepOutput(
+                    bbox=jnp.stack([new_bx, new_by, new_bw, new_bh]),
+                    score=best_val,
+                    used_global=global_argmax,
+                    updated=accept,
+                )
+                return new_state, out
+
+            return jax.vmap(one_stream)(states, frames)
+
+        state_spec = jax.tree.map(lambda _: P(data_axis), states)
+        out_spec = (
+            jax.tree.map(lambda _: P(data_axis), states),
+            StepOutput(P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
+        )
+        # check_vma can't prove the post-all_gather outputs are replicated
+        # over the search axis (they are, by construction of _lex_combine).
+        return jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(state_spec, P(data_axis, None, None)),
+            out_specs=out_spec,
+            check_vma=False,
+        )(states, frames)
+
+    return sharded_step
+
+
+def make_data_parallel_multi_step(
+    mesh: Mesh,
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig = TrackerConfig(),
+    data_axis: str = "data",
+    obj_axis: str = "obj",
+    strategy: str = "fused",
+    backend: str = "xla",
+):
+    """(streams x objects) sharded step: streams over `data_axis`, each
+    stream's K objects over `obj_axis`.  Frames replicate across `obj_axis`;
+    no collectives needed (embarrassingly parallel)."""
+    from pvot.parallel.multi import make_multi_step
+
+    multi_step = make_multi_step(frame_shape, templ_shape, config, strategy, backend)
+
+    def per_shard(states, frames):
+        # states leaves: (S_local, K_local, ...); frames: (S_local, H, W)
+        return jax.vmap(multi_step)(states, frames)
+
+    def step(states, frames):
+        state_spec = jax.tree.map(lambda _: P(data_axis, obj_axis), states)
+        out_spec = (
+            state_spec,
+            StepOutput(
+                P(data_axis, obj_axis), P(data_axis, obj_axis),
+                P(data_axis, obj_axis), P(data_axis, obj_axis),
+            ),
+        )
+        return jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(state_spec, P(data_axis, None, None)),
+            out_specs=out_spec,
+            check_vma=False,
+        )(states, frames)
+
+    return step
+
+
+def shard_states(mesh: Mesh, states: TrackerState, spec: P) -> TrackerState:
+    """Place a batched TrackerState onto the mesh with the given spec."""
+    return jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, spec)), states
+    )

@@ -39,10 +39,13 @@ NccRegionFn = Callable[..., jax.Array]
 
 
 def default_region_fn(span_x: int, span_y: int) -> NccRegionFn:
-    """Region scorer that slices the frame and runs the conv-based oracle on
-    the slice.  Work per frame: (span+t-1)^2 windows instead of the full
-    frame — the reference computes the full map and discards ~98% of it
-    (SURVEY.md §2b 'Host-device memory behavior')."""
+    """Conv-oracle region scorer — slices the frame and scores the slice.
+
+    TESTS/CPU ONLY: XLA's direct conv lowering is ~1.3 s/region on TPU
+    (measured); production paths use pvot.ops.ncc_matmul.make_region_fn,
+    which make_step resolves by default.  Work per frame either way:
+    (span+t-1)^2 windows instead of the full frame — the reference computes
+    the full map and discards ~98% of it (SURVEY.md §2b)."""
 
     def region_fn(frame, templ, t_mean, t_std, x0, y0):
         th, tw = templ.shape
@@ -65,7 +68,7 @@ def make_step(
     frame_shape: Tuple[int, int],
     templ_shape: Tuple[int, int],
     config: TrackerConfig = TrackerConfig(),
-    ncc_full_fn: NccFullFn = ncc_map_reference,
+    ncc_full_fn: Optional[NccFullFn] = None,
     ncc_region_fn: Optional[NccRegionFn] = None,
     strategy: str = "fused",
 ) -> Callable[[TrackerState, jax.Array], Tuple[TrackerState, StepOutput]]:
@@ -76,6 +79,10 @@ def make_step(
                 with the reference's compute-everything flow).
       "fused" — region-restricted NCC in local mode, full-frame only in
                 global mode (the fast path).
+
+    ncc_full_fn / ncc_region_fn default to the MXU matmul formulation
+    (pvot.ops.ncc_matmul) — the only NCC implementation that reaches the MXU
+    on TPU.  The conv-based oracle stays available explicitly.
     """
     frame_h, frame_w = frame_shape
     templ_h, templ_w = templ_shape
@@ -87,8 +94,13 @@ def make_step(
         # Candidate region would exceed the NCC map: the local window can
         # never be larger than the map, so fall back to full-map strategy.
         strategy = "full"
-    if ncc_region_fn is None:
-        ncc_region_fn = default_region_fn(span_x, span_y)
+    if ncc_full_fn is None or ncc_region_fn is None:
+        from pvot.ops.ncc_matmul import make_full_fn, make_region_fn
+
+        if ncc_full_fn is None:
+            ncc_full_fn = make_full_fn(strip_rows=128)
+        if ncc_region_fn is None:
+            ncc_region_fn = make_region_fn(span_x, span_y)
 
     # Keep these as Python scalars: eager jnp constants created here would be
     # device arrays embedded as compiled-program constants, which the axon

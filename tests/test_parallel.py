@@ -1,0 +1,120 @@
+"""Multi-object vmap and multi-chip sharding tests (8 virtual CPU devices,
+see conftest.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pvot.config import TrackerConfig
+from pvot.io.gray import gray_u8_to_f32
+from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+from pvot.parallel.multi import init_multi_state, track_video_multi
+from pvot.parallel.sharded import (
+    make_data_parallel_multi_step,
+    make_search_sharded_step,
+    shard_states,
+)
+from pvot.tracker.scan import track_video
+from pvot.tracker.state import init_state
+from pvot.tracker.step import make_step
+
+CFG = TrackerConfig(search_radius_x=20, search_radius_y=20)
+
+
+def _spec(seed):
+    return SyntheticSpec(
+        width=256, height=192, num_frames=16, target_w=24, target_h=24,
+        seed=seed, amplitude=0.25,
+    )
+
+
+def _setup(seed):
+    spec = _spec(seed)
+    video = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    templ = gray_u8_to_f32(video[0])[y : y + h, x : x + w]
+    return spec, video, (x, y, w, h), templ
+
+
+def test_multi_object_matches_single():
+    """K vmapped trackers == K independent single trackers."""
+    spec, video, roi, templ = _setup(5)
+    # Two objects: the true target and a fixed background patch.
+    roi2 = (40, 40, 24, 24)
+    templ2 = gray_u8_to_f32(video[0])[40:64, 40:64]
+    states = init_multi_state([templ, templ2], [roi, roi2])
+    _, multi_out = track_video_multi(video[1:], states, CFG, chunk_size=8)
+
+    for i, (t, r) in enumerate([(templ, roi), (templ2, roi2)]):
+        st = init_state(jnp.asarray(t), r)
+        _, single = track_video(video[1:], st, CFG, chunk_size=8)
+        np.testing.assert_array_equal(
+            np.asarray(multi_out.bbox)[:, i, :], np.asarray(single.bbox)
+        )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_search_sharded_step_matches_unsharded():
+    """TP-style search sharding: (data=2, search=4) mesh reproduces the
+    single-device step exactly, collectives and all."""
+    spec, video, roi, templ = _setup(9)
+    h, w = video.shape[1:]
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "search"))
+
+    # Two streams = same clip twice with different seeds.
+    spec_b, video_b, roi_b, templ_b = _setup(11)
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        init_state(jnp.asarray(templ), roi),
+        init_state(jnp.asarray(templ_b), roi_b),
+    )
+    states = shard_states(mesh, states, P("data"))
+    sharded = make_search_sharded_step(mesh, (h, w), (24, 24), CFG)
+    step = make_step((h, w), (24, 24), CFG, strategy="fused")
+
+    ref_states = [init_state(jnp.asarray(templ), roi), init_state(jnp.asarray(templ_b), roi_b)]
+    videos = [video, video_b]
+    jstep = jax.jit(sharded)
+    for t in range(1, 8):
+        frames = jnp.stack(
+            [jnp.asarray(gray_u8_to_f32(videos[s][t])) for s in range(2)]
+        )
+        states, out = jstep(states, frames)
+        for s in range(2):
+            ref_states[s], ref_out = step(ref_states[s], jnp.asarray(gray_u8_to_f32(videos[s][t])))
+            np.testing.assert_array_equal(
+                np.asarray(out.bbox)[s], np.asarray(ref_out.bbox)
+            )
+            np.testing.assert_allclose(
+                float(out.score[s]), float(ref_out.score), atol=5e-5
+            )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_data_parallel_multi_step_runs():
+    """(streams x objects) sharding compiles and preserves trajectories."""
+    spec, video, roi, templ = _setup(5)
+    h, w = video.shape[1:]
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "obj"))
+
+    # 4 streams x 2 objects, all same geometry.
+    roi2 = (40, 40, 24, 24)
+    templ2 = gray_u8_to_f32(video[0])[40:64, 40:64]
+    one = init_multi_state([templ, templ2], [roi, roi2])
+    states = jax.tree.map(lambda a: jnp.stack([a] * 4), one)
+    states = shard_states(mesh, states, P("data", "obj"))
+    step = make_data_parallel_multi_step(mesh, (h, w), (24, 24), CFG)
+    jstep = jax.jit(step)
+    frames = jnp.stack([jnp.asarray(gray_u8_to_f32(video[1]))] * 4)
+    new_states, out = jstep(states, frames)
+    assert np.asarray(out.bbox).shape == (4, 2, 4)
+    # All four streams saw identical data -> identical results.
+    b = np.asarray(out.bbox)
+    assert (b == b[0]).all()
+    gx, gy, _, _ = target_bbox(spec, 1)
+    assert abs(int(b[0, 0, 0]) - gx) <= 2 and abs(int(b[0, 0, 1]) - gy) <= 2
