@@ -88,10 +88,20 @@ def get_backend(
 
         return _opencv_full, region_fn
     if name == "pallas":
-        from pvot.ops.ncc_pallas import pallas_full_fn, pallas_region_fn
-
-        return (
-            pallas_full_fn(frame_shape, templ_shape),
-            pallas_region_fn(frame_shape, templ_shape, (span_y, span_x)),
+        from pvot.ops.ncc_pallas import (
+            pallas_full_fn,
+            pallas_region_fn,
+            pallas_supported,
         )
+
+        if pallas_supported():
+            return (
+                pallas_full_fn(frame_shape, templ_shape),
+                pallas_region_fn(frame_shape, templ_shape, (span_y, span_x)),
+            )
+        # Graceful fallback (see pallas_supported): same math, MXU matmul
+        # formulation.
+        from pvot.ops.ncc_matmul import make_full_fn, make_region_fn
+
+        return make_full_fn(strip_rows=128), make_region_fn(span_x, span_y)
     raise ValueError(f"unknown NCC backend: {name!r}")

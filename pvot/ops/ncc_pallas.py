@@ -16,9 +16,10 @@ f32 rounding:
 
     cov = sum_f (f * (t - mu_t)) - mu_f * sum(t - mu_t)
 
-Each grid step owns a (TY, TX)=(8, 128) output tile (one VPU register shape)
-and walks the template rows with a fori_loop, accumulating window sum,
-sum-of-squares, and covariance in registers — everything from gray pixels to
+Each grid step owns a (TY, TX)=(8, 128) output tile and walks the template
+rows with a fori_loop; per row, the 1-D correlation against that row is one
+MXU matmul with a precomputed Toeplitz operator, and window sum /
+sum-of-squares collapse into two more matmuls — everything from pixels to
 the final NCC score fuses in one kernel with zero HBM round-trips for
 intermediates.
 """
@@ -45,58 +46,107 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _ncc_kernel(
-    img_ref,  # (imgH_pad, imgW_pad) f32, whole image in VMEM
-    tc_ref,  # (th_pad, tw_pad) f32, centered template (zero padded)
-    scal_ref,  # (4,) f32 in SMEM: [t_mean_unused, t_std_in, sum_tc, n]
+    img_ref,  # (imgH_pad, imgW_pad) f32, image (strip) in VMEM
+    toep_ref,  # (th * tile_lanes, TX) f32: per-row Toeplitz of t_centered
+    box_ref,  # (tile_lanes, TX) f32: 0/1 Toeplitz of a ones row (box sums)
+    scal_ref,  # (1, 4) f32 in SMEM: [t_mean_unused, t_std_in, sum_tc, n]
     out_ref,  # (TY, TX) f32 tile
     *,
     th: int,
     tw: int,
 ):
+    """MXU formulation.  The NCC covariance for the whole tile is ONE matmul:
+    the th overlapping image bands concatenate along lanes into
+    big (TY, th*tile_lanes), and big @ toep computes
+    sum_r band_r @ Toep_r, where Toep_r[j, dx] = t_centered[r, j - dx]
+    (zero outside [0, tw)).  Window sum / sum-of-squares are two small
+    matmuls of the band sums against the ones-row Toeplitz.
+
+    Everything is statically unrolled / single matmuls because Mosaic on
+    this toolchain rejects (each verified with a minimal repro): value-level
+    dynamic_slice, lane-unaligned slices, static-shift pltpu.roll, in-kernel
+    integer division, traced rolls under nested fori, cross-grid-step ref
+    accumulation, and jnp.dot inside a fori_loop.
+    """
     ty0 = pl.program_id(0) * TY
     tx0 = pl.program_id(1) * TX
-    tile_w = TX + tw - 1
-    # Pull the (TY + th - 1, TX + tw - 1) halo tile once.
-    tile = img_ref[pl.ds(ty0, TY + th - 1), pl.ds(tx0, tile_w)]
+    tile_lanes = _round_up(TX + tw - 1, 128)
 
-    def row_body(r, carry):
-        acc_sum, acc_ssq, acc_cov = carry
-        band = jax.lax.dynamic_slice(tile, (r, 0), (TY, tile_w))
-        for c in range(tw):  # static unroll over template columns
-            win = jax.lax.slice(band, (0, c), (TY, c + TX))
-            tv = tc_ref[r, c]
-            acc_sum = acc_sum + win
-            acc_ssq = acc_ssq + win * win
-            acc_cov = acc_cov + win * tv
-        return acc_sum, acc_ssq, acc_cov
+    bands = []
+    band_sum = jnp.zeros((TY, tile_lanes), jnp.float32)
+    band_sq = jnp.zeros((TY, tile_lanes), jnp.float32)
+    for r in range(th):  # static unroll; r folds into the pl.ds base
+        band = img_ref[pl.ds(ty0 + r, TY), pl.ds(tx0, tile_lanes)]
+        bands.append(band)
+        band_sum = band_sum + band
+        band_sq = band_sq + band * band
+    big = jnp.concatenate(bands, axis=1)  # (TY, th*tile_lanes)
+    acc_cov = jnp.dot(big, toep_ref[:, :], preferred_element_type=jnp.float32)
+    acc_sum = jnp.dot(band_sum, box_ref[:, :], preferred_element_type=jnp.float32)
+    acc_ssq = jnp.dot(band_sq, box_ref[:, :], preferred_element_type=jnp.float32)
 
-    zeros = jnp.zeros((TY, TX), jnp.float32)
-    acc_sum, acc_ssq, acc_cov = lax.fori_loop(
-        0, th, row_body, (zeros, zeros, zeros)
-    )
-
-    t_std_in = scal_ref[1]
-    sum_tc = scal_ref[2]
-    n = scal_ref[3]
+    t_std_in = scal_ref[0, 1]
+    sum_tc = scal_ref[0, 2]
+    n = scal_ref[0, 3]
     mean = acc_sum / n
     var = acc_ssq / n - mean * mean
     std = jnp.sqrt(jnp.maximum(var, 1e-6))
-    cov = acc_cov - mean * sum_tc  # exact centered-template correction
+    cov = acc_cov - mean * sum_tc  # centered-template correction
     out_ref[:, :] = cov / ((std + 1e-6) * (t_std_in + 1e-6) * n)
+
+
+def _toeplitz_operators(t_centered: jax.Array, tile_lanes: int):
+    """Build the per-row correlation operators (outside the kernel, plain
+    XLA; rebuilt only when the template changes).
+
+    toep[r*L + j, dx] = t_centered[r, j - dx] for 0 <= j - dx < tw, else 0;
+    built by right-rolling each zero-padded template row by dx.  box is the
+    same from a ones row (shared by all templates of this geometry).
+    """
+    th, tw = t_centered.shape
+    padded = jnp.pad(t_centered, ((0, 0), (0, tile_lanes - tw)))  # (th, L)
+    cols = [
+        pltpu_roll_host(padded, dx)[:, :, None] for dx in range(TX)
+    ]
+    toep = jnp.concatenate(cols, axis=2)  # (th, L, TX)
+    return toep.reshape(th * tile_lanes, TX)
+
+
+def pltpu_roll_host(x: jax.Array, shift: int) -> jax.Array:
+    """jnp.roll along the last axis (host-side operator construction)."""
+    return jnp.roll(x, shift, axis=1)
+
+
+@functools.lru_cache(maxsize=8)
+def _box_operator(tile_lanes: int, tw: int):
+    """0/1 ones-row Toeplitz as NUMPY (an eager device constant here would be
+    captured by jit and re-fetched per call on the remote TPU runtime)."""
+    import numpy as _np
+
+    box = _np.zeros((tile_lanes, TX), _np.float32)
+    for dx in range(TX):
+        box[dx : dx + tw, dx] = 1.0
+    return box
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "interpret"))
 def _ncc_pallas_padded(
     img_pad: jax.Array,
-    t_centered_pad: jax.Array,
+    toep: jax.Array,
     scalars: jax.Array,
     th: int,
     tw: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """img_pad already padded so every tile's halo read stays in bounds."""
+    """img_pad already padded so every tile's band read stays in bounds.
+
+    Padding contract (see ncc_map_pallas): H_pad = gh*TY + th - 1,
+    W_pad = (gw - 1)*TX + tile_lanes.
+    """
+    tile_lanes = _round_up(TX + tw - 1, 128)
     gh = (img_pad.shape[0] - (th - 1)) // TY
-    gw = (img_pad.shape[1] - (tw - 1)) // TX
+    gw = (img_pad.shape[1] - tile_lanes) // TX + 1
+    box = jnp.asarray(_box_operator(tile_lanes, tw))
     kernel = functools.partial(_ncc_kernel, th=th, tw=tw)
     return pl.pallas_call(
         kernel,
@@ -105,13 +155,14 @@ def _ncc_pallas_padded(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(img_pad, t_centered_pad, scalars)
+    )(img_pad, toep, box, scalars)
 
 
 def ncc_map_pallas(
@@ -120,11 +171,15 @@ def ncc_map_pallas(
     t_mean: jax.Array | None = None,
     t_std: jax.Array | None = None,
     interpret: bool = False,
+    strip_rows: int = 256,
 ) -> jax.Array:
     """Full valid-mode NCC map via the fused Pallas kernel.
 
     img (H, W) f32, templ (th, tw) f32 -> (H-th+1, W-tw+1) f32 with the
-    reference's exact epsilon semantics.
+    reference's exact epsilon semantics.  Large images are processed in
+    y-strips of `strip_rows` output rows so strip + Toeplitz operators stay
+    inside VMEM (the operators cost th * tile_lanes * TX * 4 bytes, ~10.5 MB
+    for an 80x80 template).
     """
     img = img.astype(jnp.float32)
     templ = templ.astype(jnp.float32)
@@ -133,17 +188,35 @@ def ncc_map_pallas(
     th, tw = templ.shape
     h, w = img.shape
     out_h, out_w = h - th + 1, w - tw + 1
-    gh = _round_up(out_h, TY) // TY
-    gw = _round_up(out_w, TX) // TX
-    img_pad = jnp.pad(
-        img, ((0, gh * TY + th - 1 - h), (0, gw * TX + tw - 1 - w))
-    )
+    tile_lanes = _round_up(TX + tw - 1, 128)
+
     t_centered = templ - t_mean
+    toep = _toeplitz_operators(t_centered, tile_lanes)
     scalars = jnp.stack(
         [t_mean, t_std, jnp.sum(t_centered), jnp.float32(th * tw)]
-    )
-    out = _ncc_pallas_padded(img_pad, t_centered, scalars, th, tw, interpret)
-    return out[:out_h, :out_w]
+    ).reshape(1, 4)
+
+    def one_strip(strip_img):
+        sh = strip_img.shape[0]
+        s_out_h = sh - th + 1
+        gh = _round_up(s_out_h, TY) // TY
+        gw = _round_up(out_w, TX) // TX
+        img_pad = jnp.pad(
+            strip_img,
+            ((0, gh * TY + th - 1 - sh), (0, (gw - 1) * TX + tile_lanes - w)),
+        )
+        out = _ncc_pallas_padded(img_pad, toep, scalars, th, tw, interpret)
+        return out[:s_out_h, :out_w]
+
+    if strip_rows and out_h > strip_rows:
+        pieces = []
+        for dy0 in range(0, out_h, strip_rows):
+            rows = min(strip_rows, out_h - dy0)
+            pieces.append(
+                one_strip(lax.slice(img, (dy0, 0), (dy0 + rows + th - 1, w)))
+            )
+        return jnp.concatenate(pieces, axis=0)
+    return one_strip(img)
 
 
 def ncc_map_pallas_batched(
@@ -155,6 +228,47 @@ def ncc_map_pallas_batched(
     return jax.vmap(
         lambda f: ncc_map_pallas(f, templ, t_mean, t_std, interpret=interpret)
     )(frames)
+
+
+_SUPPORT_CACHE: dict = {}
+
+
+def pallas_supported(probe_shape=(64, 256), templ_shape=(8, 8)) -> bool:
+    """Probe whether the fused kernel compiles AND computes correctly on the
+    current backend.
+
+    Needed because this build environment tunnels to a remote TPU whose
+    Mosaic build is months older than the client (libtpu version skew):
+    several valid kernels fail its compile helper with an opaque HTTP 500,
+    and some pltpu.roll patterns compile but return wrong values.  The probe
+    checks numerics against the oracle, not just compilation.
+    """
+    key = (jax.default_backend(), probe_shape, templ_shape)
+    if key not in _SUPPORT_CACHE:
+        try:
+            import numpy as _np
+
+            rng = _np.random.default_rng(0)
+            img = jnp.asarray(rng.random(probe_shape, dtype=_np.float32))
+            templ = jnp.asarray(rng.random(templ_shape, dtype=_np.float32))
+            got = ncc_map_pallas(img, templ)
+            from pvot.ops.ncc_matmul import ncc_map_matmul
+
+            want = ncc_map_matmul(img, templ)
+            ok = bool(jnp.max(jnp.abs(got - want)) < 1e-3)
+        except Exception:
+            ok = False
+        if not ok:
+            import sys
+
+            print(
+                "pvot: Pallas NCC kernel unavailable on this backend "
+                "(Mosaic compile/numerics probe failed); --shared/--const/"
+                "--const_tiled fall back to the MXU matmul formulation",
+                file=sys.stderr,
+            )
+        _SUPPORT_CACHE[key] = ok
+    return _SUPPORT_CACHE[key]
 
 
 def pallas_full_fn(frame_shape: Tuple[int, int], templ_shape: Tuple[int, int]):
