@@ -100,7 +100,11 @@ def _stack_outputs(outs) -> StepOutput:
     if isinstance(outs[0].score, np.ndarray):
         return StepOutput(*(np.concatenate(xs) for xs in zip(*outs)))
     dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
-    return fetch_outputs(dev)
+    if dev.score.ndim == 1:  # single-object layout: one packed transfer
+        return fetch_outputs(dev)
+    for leaf in jax.tree.leaves(dev):
+        leaf.copy_to_host_async()
+    return jax.tree.map(np.asarray, jax.device_get(dev))
 
 
 @jax.jit
