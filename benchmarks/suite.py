@@ -1,0 +1,272 @@
+"""Benchmark suite: every BASELINE.json config.
+
+  1. 720p --cpu parity path (full-map TM_CCOEFF_NORMED + windowed argmax)
+  2. 720p fused NCC with adaptive template update       <- bench.py headline
+  3. batch mode N in {4, 8, 16, 32} (look-ahead dispatch, parity semantics)
+  4. 1080p and 4K with a 160 px search radius (HBM/tiling stress)
+  5. multi-object: 8 templates per frame via vmap
+
+Run:  python benchmarks/suite.py [--configs 1,2,3] [--frames N]
+Prints one JSON line per config and writes benchmarks/results.json.
+
+Timing protocol per bench.py: stage + compile (async), flip the relay to
+synchronous mode, then time dispatch + one packed fetch; best of two.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_FPS = 12.15  # README.md:101-117 example session, --shared mode
+
+
+def _stage_flip_time(run_enqueue, run_fetch, trials: int = 2):
+    """Warm (enqueue-only), flip to sync mode, then time run_fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    run_enqueue()
+    flip = jax.jit(lambda a: a @ a)(jnp.eye(128, dtype=jnp.float32))
+    flip.copy_to_host_async()
+    jax.block_until_ready(flip)
+    _ = np.asarray(flip)
+    best = float("inf")
+    result = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        result = run_fetch()
+        best = min(best, time.perf_counter() - t0)
+    return result, best
+
+
+def _make_tracking_run(
+    width, height, templ, num_frames, chunk_size, backend, strategy,
+    radius=None, batch=None,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.ops.backends import get_backend
+    from pvot.tracker.scan import _pack_outputs, fetch_outputs, make_batch_step, make_masked_scan_fn
+    from pvot.tracker.state import init_state
+    from pvot.tracker.step import make_step
+    from jax import lax
+
+    config = TrackerConfig()
+    if radius:
+        config = TrackerConfig(search_radius_x=radius, search_radius_y=radius)
+    spec = SyntheticSpec(
+        width=width, height=height, num_frames=num_frames + 1,
+        target_w=templ, target_h=templ, seed=1,
+    )
+    frames = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    template = gray_u8_to_f32(frames[0])[y : y + h, x : x + w]
+    state = init_state(jnp.asarray(template), (x, y, w, h))
+
+    full_fn, region_fn = get_backend(backend, (height, width), (h, w), config)
+    step = make_step(
+        (height, width), (h, w), config,
+        ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
+    )
+    if batch:
+        bstep = make_batch_step(step, batch)
+
+        def scan_body(st, xs):
+            frames_b, valid = xs
+            new_st, out = bstep(st, frames_b)
+            keep = lambda a, b: jnp.where(valid, a, b)
+            return jax.tree.map(keep, new_st, st), out
+
+        scan_fn = jax.jit(
+            lambda st, fr, va: lax.scan(scan_body, st, (fr, va))
+        )
+        n_groups = num_frames // (batch * chunk_size)
+        staged = [
+            jax.device_put(
+                frames[1 + g * batch * chunk_size : 1 + (g + 1) * batch * chunk_size]
+                .reshape(chunk_size, batch, height, width)
+            )
+            for g in range(max(1, n_groups))
+        ]
+        valid = jax.device_put(np.ones(chunk_size, bool))
+
+        def run(fetch):
+            st = state
+            outs = []
+            for s in staged:
+                st, out = scan_fn(st, s, valid)
+                outs.append(jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), out))
+            dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+            return fetch_outputs(dev) if fetch else _pack_outputs(dev)
+
+        return run, spec, len(staged) * batch * chunk_size
+
+    scan_fn = make_masked_scan_fn(step, donate=False)
+    staged = [
+        jax.device_put(frames[1 + i : 1 + i + chunk_size])
+        for i in range(0, num_frames, chunk_size)
+    ]
+    valid = jax.device_put(np.ones(chunk_size, bool))
+
+    def run(fetch):
+        st = state
+        outs = []
+        for c in staged:
+            st, out = scan_fn(st, c, valid)
+            outs.append(out)
+        dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        return fetch_outputs(dev) if fetch else _pack_outputs(dev)
+
+    return run, spec, num_frames
+
+
+def bench_tracking(name, *, width, height, templ=80, num_frames=512,
+                   chunk_size=128, backend="xla", strategy="fused",
+                   radius=None, batch=None, check_err=True):
+    from pvot.io.synthetic import target_bbox
+
+    run, spec, total = _make_tracking_run(
+        width, height, templ, num_frames, chunk_size, backend, strategy,
+        radius, batch,
+    )
+    host, elapsed = _stage_flip_time(
+        lambda: run(fetch=False), lambda: run(fetch=True)
+    )
+    fps = total / elapsed
+    rec = {
+        "config": name,
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "frames": total,
+        "elapsed_s": round(elapsed, 4),
+    }
+    if check_err and not batch:
+        errs = [
+            abs(int(b[0]) - target_bbox(spec, i + 1)[0])
+            + abs(int(b[1]) - target_bbox(spec, i + 1)[1])
+            for i, b in enumerate(np.asarray(host.bbox))
+        ]
+        rec["max_l1_err_px"] = int(max(errs))
+    return rec
+
+
+def bench_multi_object(num_objects=8, width=1280, height=720, templ=80,
+                       num_frames=256, chunk_size=64):
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.parallel.multi import init_multi_state, make_multi_step
+    from pvot.tracker.scan import make_masked_scan_fn
+
+    config = TrackerConfig()
+    spec = SyntheticSpec(
+        width=width, height=height, num_frames=num_frames + 1,
+        target_w=templ, target_h=templ, seed=1,
+    )
+    frames = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    g0 = gray_u8_to_f32(frames[0])
+    # One true target + 7 fixed background patches (all same geometry).
+    rois = [(x, y, w, h)] + [
+        (64 + 96 * i, 128 + 32 * (i % 3), w, h) for i in range(num_objects - 1)
+    ]
+    templates = [g0[ry : ry + h, rx : rx + w] for rx, ry, _, _ in rois]
+    states = init_multi_state(templates, rois)
+    multi_step = make_multi_step((height, width), (h, w), config)
+    scan_fn = make_masked_scan_fn(multi_step, donate=False)
+    staged = [
+        jax.device_put(frames[1 + i : 1 + i + chunk_size])
+        for i in range(0, num_frames, chunk_size)
+    ]
+    valid = jax.device_put(np.ones(chunk_size, bool))
+
+    def run(fetch):
+        st = states
+        outs = []
+        for c in staged:
+            st, out = scan_fn(st, c, valid)
+            outs.append(out)
+        dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        if fetch:
+            for leaf in jax.tree.leaves(dev):
+                leaf.copy_to_host_async()
+            return jax.tree.map(np.asarray, jax.device_get(dev))
+        return dev
+
+    host, elapsed = _stage_flip_time(lambda: run(False), lambda: run(True))
+    fps = num_frames / elapsed
+    return {
+        "config": f"multi_object_{num_objects}x_720p",
+        "value": round(fps, 2),
+        "unit": "frames/s (all objects per frame)",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "object_rate": round(fps * num_objects, 1),
+        "frames": num_frames,
+        "elapsed_s": round(elapsed, 4),
+    }
+
+
+CONFIGS = {
+    "1": lambda frames: bench_tracking(
+        "cpu_parity_720p", width=1280, height=720, backend="cpu",
+        strategy="full", num_frames=min(frames, 256), chunk_size=64,
+    ),
+    "2": lambda frames: bench_tracking(
+        "fused_720p_80px", width=1280, height=720, num_frames=frames,
+    ),
+    "3": lambda frames: [
+        bench_tracking(
+            f"batch_{n}_720p", width=1280, height=720,
+            num_frames=min(frames, 512), chunk_size=max(1, min(frames, 512) // n),
+            batch=n, check_err=False,
+        )
+        for n in (4, 8, 16, 32)
+    ],
+    "4": lambda frames: [
+        bench_tracking(
+            "1080p_r160", width=1920, height=1080, radius=160,
+            num_frames=min(frames, 256), chunk_size=64,
+        ),
+        bench_tracking(
+            "4k_r160", width=3840, height=2160, radius=160,
+            num_frames=min(frames, 128), chunk_size=32,
+        ),
+    ],
+    "5": lambda frames: bench_multi_object(),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--frames", type=int, default=512)
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.json"))
+    args = ap.parse_args()
+    results = []
+    for key in args.configs.split(","):
+        got = CONFIGS[key.strip()](args.frames)
+        for rec in got if isinstance(got, list) else [got]:
+            print(json.dumps(rec), flush=True)
+            results.append(rec)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,7 @@ from __future__ import annotations
 from typing import Callable, Tuple
 
 from pvot.config import TrackerConfig
-from pvot.ops.ncc_reference import ncc_map_opencv, ncc_map_reference
+from pvot.ops.ncc_reference import ncc_map_reference
 from pvot.tracker import step as step_mod
 
 # Reference CLI mode name -> backend name.
@@ -50,11 +50,6 @@ MODE_TO_BACKEND = {
     # Conv-based oracle (slow on TPU for large kernels; test/debug only).
     "ref_conv": "ref_conv",
 }
-
-
-def _opencv_full(frame, templ, t_mean, t_std):
-    del t_mean, t_std  # TM_CCOEFF_NORMED normalizes differently
-    return ncc_map_opencv(frame, templ)
 
 
 def get_backend(
@@ -77,16 +72,12 @@ def get_backend(
     if name == "ref_conv":
         return ncc_map_reference, step_mod.default_region_fn(span_x, span_y)
     if name == "cpu":
+        from pvot.ops.ncc_matmul import make_opencv_full_fn, make_opencv_region_fn
 
-        def region_fn(frame, templ, t_mean, t_std, x0, y0):
-            import jax.numpy as jnp
-            from jax import lax
-
-            th, tw = templ.shape
-            region = lax.dynamic_slice(frame, (y0, x0), (span_y + th - 1, span_x + tw - 1))
-            return ncc_map_opencv(region, templ)
-
-        return _opencv_full, region_fn
+        return (
+            make_opencv_full_fn(strip_rows=128),
+            make_opencv_region_fn(span_x, span_y),
+        )
     if name == "pallas":
         from pvot.ops.ncc_pallas import (
             pallas_full_fn,

@@ -139,6 +139,62 @@ def ncc_map_matmul(
     return cov / denom
 
 
+def ncc_map_opencv_matmul(
+    frame: jax.Array, templ: jax.Array, strip_rows: int = 0
+) -> jax.Array:
+    """cv::matchTemplate(TM_CCOEFF_NORMED) semantics, MXU formulation.
+
+    Same math as pvot.ops.ncc_reference.ncc_map_opencv (the --cpu parity
+    mode) built from cross_correlate + sliding_box_sums so it runs at MXU
+    speed on TPU.
+    """
+    frame = frame.astype(jnp.float32)
+    templ = templ.astype(jnp.float32)
+    th, tw = templ.shape
+    n = float(th * tw)
+    fh, fw = frame.shape
+    out_h = fh - th + 1
+    t_centered = templ - jnp.mean(templ)
+    t_ssq = jnp.sum(jnp.square(t_centered))
+    if strip_rows and strip_rows < out_h:
+        pieces = []
+        for dy0 in range(0, out_h, strip_rows):
+            rows = min(strip_rows, out_h - dy0)
+            strip = lax.slice(frame, (dy0, 0), (dy0 + rows + th - 1, fw))
+            pieces.append(cross_correlate(strip, t_centered))
+        numer = jnp.concatenate(pieces, axis=0)
+    else:
+        numer = cross_correlate(frame, t_centered)
+    sums, ssq = sliding_box_sums(frame, th, tw)
+    win_ssq = jnp.maximum(ssq - jnp.square(sums) / n, 0.0)
+    denom = jnp.sqrt(t_ssq * win_ssq)
+    return numer / jnp.maximum(denom, 1e-12)
+
+
+def make_opencv_full_fn(strip_rows: int = 128):
+    """--cpu parity full-map callable (frame, templ, t_mean, t_std)."""
+
+    def full_fn(frame, templ, t_mean, t_std):
+        del t_mean, t_std  # TM_CCOEFF_NORMED normalizes differently
+        return ncc_map_opencv_matmul(frame, templ, strip_rows=strip_rows)
+
+    return full_fn
+
+
+def make_opencv_region_fn(span_x: int, span_y: int):
+    """--cpu parity region scorer."""
+
+    def region_fn(frame, templ, t_mean, t_std, x0, y0):
+        del t_mean, t_std
+        th, tw = templ.shape
+        region = lax.dynamic_slice(
+            frame, (y0, x0), (span_y + th - 1, span_x + tw - 1)
+        )
+        return ncc_map_opencv_matmul(region, templ)
+
+    return region_fn
+
+
 def make_full_fn(strip_rows: int = 128):
     """Full-map NCC callable (frame, templ, t_mean, t_std) -> map, strip-wise."""
 

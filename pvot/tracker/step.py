@@ -102,14 +102,9 @@ def make_step(
         if ncc_region_fn is None:
             ncc_region_fn = make_region_fn(span_x, span_y)
 
-    # Keep these as Python scalars: eager jnp constants created here would be
-    # device arrays embedded as compiled-program constants, which the axon
-    # TPU runtime re-fetches on every call (~1.3 s/step measured).  Python
-    # scalars trace to inline HLO constants instead.
-    lr = float(config.template_update_lr)
-    min_conf = float(config.min_confidence)
-    global_conf = float(config.global_confidence)
-    strong_conf = float(config.strong_confidence)
+    # Python scalar, not an eager jnp constant: eager device arrays captured
+    # by jit are re-fetched every call on the remote TPU runtime
+    # (~1.3 s/step measured).  Same rule applies inside apply_update.
     lost_threshold = int(config.lost_frame_threshold)
 
     def step(state: TrackerState, frame: jax.Array):
@@ -152,50 +147,77 @@ def make_step(
 
             best_val, best_x, best_y = lax.cond(global_argmax, do_global, do_local, frame, state)
 
-        # --- Confidence gate + bbox update (main.cpp:448-467) --------------
-        threshold = jnp.where(use_global, global_conf, min_conf)
-        accept = best_val >= threshold
-        new_bx = jnp.where(accept, best_x, state.bbox_x)
-        new_by = jnp.where(accept, best_y, state.bbox_y)
-        new_bw = jnp.where(accept, jnp.int32(templ_w), state.bbox_w)
-        new_bh = jnp.where(accept, jnp.int32(templ_h), state.bbox_h)
-        lost_count = jnp.where(accept, jnp.int32(0), state.lost_count + 1)
-        new_outside = is_bbox_outside_frame(new_bx, new_by, new_bw, new_bh, frame_w, frame_h)
-        use_global_next = jnp.where(accept & ~new_outside, jnp.bool_(False), use_global)
-
-        # --- Adaptive template EMA (main.cpp:460-463) ----------------------
-        strong = accept & (best_val >= strong_conf)
-        patch = lax.dynamic_slice(frame, (new_by, new_bx), (templ_h, templ_w))
-        new_template = jnp.where(
-            strong, (1.0 - lr) * state.template + lr * patch, state.template
+        return apply_update(
+            state, frame, best_val, best_x, best_y, use_global, global_argmax,
+            (frame_h, frame_w), (templ_h, templ_w), config,
         )
-        t_mean, t_std = lax.cond(
-            strong,
-            lambda t: template_stats(t),
-            lambda _: (state.t_mean, state.t_std),
-            new_template,
-        )
-
-        new_state = TrackerState(
-            bbox_x=new_bx,
-            bbox_y=new_by,
-            bbox_w=new_bw,
-            bbox_h=new_bh,
-            template=new_template,
-            t_mean=t_mean,
-            t_std=t_std,
-            lost_count=lost_count,
-            use_global=use_global_next,
-        )
-        out = StepOutput(
-            bbox=jnp.stack([new_bx, new_by, new_bw, new_bh]),
-            score=best_val,
-            used_global=global_argmax,
-            updated=accept,
-        )
-        return new_state, out
 
     return step
+
+
+def apply_update(
+    state: TrackerState,
+    frame: jax.Array,
+    best_val: jax.Array,
+    best_x: jax.Array,
+    best_y: jax.Array,
+    use_global: jax.Array,
+    global_argmax: jax.Array,
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+) -> Tuple[TrackerState, StepOutput]:
+    """Post-argmax state update: confidence gate + bbox move
+    (main.cpp:448-459), lost counter, global-flag reset, and adaptive
+    template EMA (main.cpp:460-463).  Shared by the single-object step and
+    the vmapped multi-object step."""
+    frame_h, frame_w = frame_shape
+    templ_h, templ_w = templ_shape
+    lr = float(config.template_update_lr)
+    threshold = jnp.where(
+        use_global,
+        jnp.float32(config.global_confidence),
+        jnp.float32(config.min_confidence),
+    )
+    accept = best_val >= threshold
+    new_bx = jnp.where(accept, best_x, state.bbox_x)
+    new_by = jnp.where(accept, best_y, state.bbox_y)
+    new_bw = jnp.where(accept, jnp.int32(templ_w), state.bbox_w)
+    new_bh = jnp.where(accept, jnp.int32(templ_h), state.bbox_h)
+    lost_count = jnp.where(accept, jnp.int32(0), state.lost_count + 1)
+    new_outside = is_bbox_outside_frame(new_bx, new_by, new_bw, new_bh, frame_w, frame_h)
+    use_global_next = jnp.where(accept & ~new_outside, jnp.bool_(False), use_global)
+
+    strong = accept & (best_val >= jnp.float32(config.strong_confidence))
+    patch = lax.dynamic_slice(frame, (new_by, new_bx), (templ_h, templ_w))
+    new_template = jnp.where(
+        strong, (1.0 - lr) * state.template + lr * patch, state.template
+    )
+    t_mean, t_std = lax.cond(
+        strong,
+        lambda t: template_stats(t),
+        lambda _: (state.t_mean, state.t_std),
+        new_template,
+    )
+
+    new_state = TrackerState(
+        bbox_x=new_bx,
+        bbox_y=new_by,
+        bbox_w=new_bw,
+        bbox_h=new_bh,
+        template=new_template,
+        t_mean=t_mean,
+        t_std=t_std,
+        lost_count=lost_count,
+        use_global=use_global_next,
+    )
+    out = StepOutput(
+        bbox=jnp.stack([new_bx, new_by, new_bw, new_bh]),
+        score=best_val,
+        used_global=global_argmax,
+        updated=accept,
+    )
+    return new_state, out
 
 
 @functools.lru_cache(maxsize=32)

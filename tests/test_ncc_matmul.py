@@ -101,3 +101,19 @@ def test_flat_window_epsilon_clamp(rng):
     got = np.asarray(ncc_map_matmul(jnp.asarray(frame), jnp.asarray(templ)))
     assert np.all(np.isfinite(got))
     assert np.all(np.abs(got) < 1e-3)
+
+
+def test_opencv_matmul_matches_conv_oracle(rng):
+    """--cpu parity backend: matmul formulation == conv-based TM_CCOEFF."""
+    from pvot.ops.ncc_matmul import ncc_map_opencv_matmul
+    from pvot.ops.ncc_reference import ncc_map_opencv
+
+    frame = rng.random((96, 120)).astype(np.float32)
+    templ = frame[10:42, 50:90].copy()
+    a = np.asarray(ncc_map_opencv_matmul(jnp.asarray(frame), jnp.asarray(templ)))
+    b = np.asarray(ncc_map_opencv(jnp.asarray(frame), jnp.asarray(templ)))
+    np.testing.assert_allclose(a, b, atol=5e-5)
+    s = np.asarray(
+        ncc_map_opencv_matmul(jnp.asarray(frame), jnp.asarray(templ), strip_rows=17)
+    )
+    np.testing.assert_allclose(s, a, atol=1e-6)

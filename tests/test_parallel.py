@@ -118,3 +118,32 @@ def test_data_parallel_multi_step_runs():
     assert (b == b[0]).all()
     gx, gy, _, _ = target_bbox(spec, 1)
     assert abs(int(b[0, 0, 0]) - gx) <= 2 and abs(int(b[0, 0, 1]) - gy) <= 2
+
+
+def test_multi_object_global_reacquisition():
+    """Multi-object step must re-acquire a lost object via the scalar-cond
+    global pass (the cheap path skips it when no object is lost)."""
+    from pvot.config import TrackerConfig
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.parallel.multi import init_multi_state, track_video_multi
+    from pvot.io.gray import gray_u8_to_f32
+
+    cfg = TrackerConfig(
+        search_radius_x=20, search_radius_y=20, lost_frame_threshold=6
+    )
+    spec = SyntheticSpec(
+        width=320, height=240, num_frames=60, target_w=32, target_h=32,
+        seed=3, exit_and_reenter=True,
+    )
+    video = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    g0 = gray_u8_to_f32(video[0])
+    rois = [(x, y, w, h), (16, 16, 32, 32)]
+    templates = [g0[ry : ry + hh, rx : rx + ww] for rx, ry, ww, hh in rois]
+    states = init_multi_state(templates, rois)
+    final, out = track_video_multi(video[1:], states, cfg, chunk_size=10)
+    used_global = np.asarray(out.used_global)
+    assert used_global[:, 0].any(), "lost object never searched globally"
+    gx, gy, _, _ = target_bbox(spec, spec.num_frames - 1)
+    last = np.asarray(out.bbox)[-1, 0]
+    assert abs(int(last[0]) - gx) <= 3 and abs(int(last[1]) - gy) <= 3
