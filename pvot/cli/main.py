@@ -95,6 +95,14 @@ def parse_args(argv: List[str]):
     p.add_argument("--template-update-lr", type=float, default=TrackerConfig.template_update_lr)
     p.add_argument("--lost-frame-threshold", type=int, default=TrackerConfig.lost_frame_threshold)
     p.add_argument("--no-display", action="store_true", help="never open GUI windows")
+    p.add_argument(
+        "--checkpoint-out", type=str, default=None,
+        help="save the final tracker state (bbox/template/counters) to this .npz",
+    )
+    p.add_argument(
+        "--resume", type=str, default=None,
+        help="resume from a tracker-state .npz instead of selecting a ROI",
+    )
     args = p.parse_args(passthrough)
     args.mode = mode
     args.batch_size = batch_size
@@ -212,15 +220,33 @@ def run_tracking(args) -> int:
 
     config = _config_from_args(args)
     frames_bgr, fps = _load_frames(args)
-    start, roi = _select_roi(args, frames_bgr)
+    if args.resume:
+        # Resume a stream: state (bbox/template/counters) comes from the
+        # checkpoint; the video supplies the remaining frames.  The
+        # reference has no such facility (SURVEY.md §5 checkpoint row).
+        from pvot.utils.checkpoint import load_state
+
+        state = load_state(args.resume)
+        roi = tuple(int(v) for v in (
+            state.bbox_x, state.bbox_y, state.bbox_w, state.bbox_h
+        ))
+        start = 0
+        # Frame 0 is tracked (not a template source) when resuming.
+        frames_bgr = np.concatenate([frames_bgr[:1], frames_bgr], axis=0)
+    else:
+        start, roi = _select_roi(args, frames_bgr)
+        state = None
     frames_bgr = frames_bgr[start:]
     if args.max_frames:
         frames_bgr = frames_bgr[: args.max_frames + 1]
 
-    gray = np.stack([bgr_to_gray_u8(f) for f in frames_bgr])
-    x, y, w, h = roi
-    templ = gray_u8_to_f32(gray[0])[y : y + h, x : x + w]
-    state = init_state(jnp.asarray(templ), roi)
+    from pvot.runtime import native
+
+    gray = native.bgr_to_gray_u8(frames_bgr)
+    if state is None:
+        x, y, w, h = roi
+        templ = gray_u8_to_f32(gray[0])[y : y + h, x : x + w]
+        state = init_state(jnp.asarray(templ), roi)
 
     backend = args.mode
     mode_label = args.mode
@@ -277,6 +303,12 @@ def run_tracking(args) -> int:
                     break
         if writer:
             writer.close()
+
+    if args.checkpoint_out:
+        from pvot.utils.checkpoint import save_state
+
+        save_state(args.checkpoint_out, final)
+        print(f"Checkpoint saved: {args.checkpoint_out}")
 
     kind = "Recorded" if args.record else "Interactive"
     # Summary format matches the reference (main.cpp:485-488).

@@ -75,3 +75,23 @@ def test_batch_mode_cli(tmp_path, monkeypatch, capsys):
     ])
     assert rc == 0
     assert "Tracking mode: batch (batch size: 3)" in capsys.readouterr().out
+
+
+def test_checkpoint_and_resume(tmp_path, monkeypatch, capsys):
+    """CLI checkpoint/resume: split run == single run trajectory-wise."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("DISPLAY", raising=False)
+    ckpt = str(tmp_path / "state.npz")
+    rc = main([
+        "--synthetic", "320x240x12", "--first", "--roi", "144,104,32,32",
+        "--chunk-size", "4", "--checkpoint-out", ckpt,
+    ])
+    assert rc == 0
+    assert "Checkpoint saved" in capsys.readouterr().out
+    rc = main([
+        "--synthetic", "320x240x12", "--first", "--resume", ckpt,
+        "--chunk-size", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Interactive tracking summary: frames=13," in out

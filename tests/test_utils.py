@@ -1,0 +1,53 @@
+"""Utils coverage: timers (C9) and the profiler hook."""
+
+import time
+
+import numpy as np
+
+from pvot.utils.timing import FpsCounter, StageTimer
+
+
+def test_fps_counter_summary_format():
+    c = FpsCounter()
+    for _ in range(5):
+        c.tick()
+    s = c.summary("Interactive")
+    assert s.startswith("Interactive tracking summary: frames=5, time=")
+    assert ", FPS=" in s
+    assert c.average_fps > 0
+
+
+def test_stage_timer_accumulates():
+    t = StageTimer()
+    for _ in range(3):
+        with t.stage("decode"):
+            time.sleep(0.002)
+    with t.stage("track"):
+        time.sleep(0.001)
+    assert t.counts["decode"] == 3 and t.counts["track"] == 1
+    assert t.totals["decode"] >= 0.006
+    rep = t.report()
+    assert "decode" in rep and "track" in rep
+
+
+def test_stage_timer_blocks_on_device_work():
+    import jax.numpy as jnp
+
+    t = StageTimer()
+    x = jnp.ones((256, 256))
+    with t.stage("matmul", block=x):
+        y = x @ x
+    assert t.counts["matmul"] == 1
+
+
+def test_profile_trace_writes_trace(tmp_path):
+    import jax.numpy as jnp
+
+    from pvot.utils.timing import profile_trace
+
+    with profile_trace(str(tmp_path)):
+        y = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+        y.block_until_ready()
+    # jax.profiler writes a plugins/profile/<ts>/ tree
+    found = list(tmp_path.rglob("*.xplane.pb")) + list(tmp_path.rglob("*trace*"))
+    assert found, "no profiler artifacts written"
