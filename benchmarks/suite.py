@@ -222,6 +222,72 @@ def bench_multi_object(num_objects=8, width=1280, height=720, templ=80,
     }
 
 
+def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
+                       num_frames=256, chunk_size=64):
+    """Serving throughput: S independent 720p streams in lockstep on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.parallel.multi import make_multi_stream_step
+    from pvot.tracker.scan import make_masked_scan_fn
+    from pvot.tracker.state import init_state
+
+    config = TrackerConfig()
+    base = generate_gray_video(SyntheticSpec(
+        width=width, height=height, num_frames=num_frames + 1,
+        target_w=templ, target_h=templ, seed=1,
+    ))
+    spec = SyntheticSpec(
+        width=width, height=height, num_frames=num_frames + 1,
+        target_w=templ, target_h=templ, seed=1,
+    )
+    x, y, w, h = target_bbox(spec, 0)
+    templ_img = gray_u8_to_f32(base[0])[y : y + h, x : x + w]
+    one = init_state(jnp.asarray(templ_img), (x, y, w, h))
+    states = jax.tree.map(lambda a: jnp.stack([a] * num_streams), one)
+    step = make_multi_stream_step((height, width), (h, w), config)
+    scan_fn = make_masked_scan_fn(step, donate=False)
+    # Streams share pixel content (synthetic); layout (C, S, H, W).
+    staged = [
+        jax.device_put(
+            np.broadcast_to(
+                base[1 + i : 1 + i + chunk_size, None],
+                (chunk_size, num_streams, height, width),
+            ).copy()
+        )
+        for i in range(0, num_frames, chunk_size)
+    ]
+    valid = jax.device_put(np.ones(chunk_size, bool))
+
+    def run(fetch):
+        st = states
+        outs = []
+        for c in staged:
+            st, out = scan_fn(st, c, valid)
+            outs.append(out)
+        dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        if fetch:
+            for leaf in jax.tree.leaves(dev):
+                leaf.copy_to_host_async()
+            return jax.tree.map(np.asarray, jax.device_get(dev))
+        return dev
+
+    host, elapsed = _stage_flip_time(lambda: run(False), lambda: run(True))
+    fps = num_frames / elapsed
+    return {
+        "config": f"multi_stream_{num_streams}x_720p",
+        "value": round(fps, 2),
+        "unit": "frames/s per stream (lockstep)",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "aggregate_fps": round(fps * num_streams, 1),
+        "frames": num_frames,
+        "elapsed_s": round(elapsed, 4),
+    }
+
+
 CONFIGS = {
     "1": lambda frames: bench_tracking(
         "cpu_parity_720p", width=1280, height=720, backend="cpu",
@@ -249,6 +315,7 @@ CONFIGS = {
         ),
     ],
     "5": lambda frames: bench_multi_object(),
+    "6": lambda frames: bench_multi_stream(),
 }
 
 

@@ -45,8 +45,14 @@ def make_multi_step(
     config: TrackerConfig = TrackerConfig(),
     strategy: str = "fused",
     backend: str = "xla",
+    per_object_frames: bool = False,
 ):
     """Per-frame step over a batched state: (K-state, frame) -> (K-state, K-outs).
+
+    per_object_frames=False: one shared frame, K objects (multi-object).
+    per_object_frames=True: frames (K, H, W), one per tracker — K independent
+    STREAMS advancing in lockstep (the serving layout; shard it over a mesh
+    with pvot.parallel.sharded for multi-chip).
 
     NOT a plain vmap of the single-object step: under vmap, lax.cond lowers
     to a select that executes BOTH branches, so every object would pay the
@@ -90,34 +96,38 @@ def make_multi_step(
         )  # all fields (K,)
         global_k = use_global | ~bounds.valid
 
+        f_ax = 0 if per_object_frames else None
+
         # Local pass for every object (batched MXU work).
         if use_region:
             x0, y0 = search_ops.region_origin(bounds, out_w, out_h, span_x, span_y)
 
-            def one_local(templ, t_mean, t_std, x0k, y0k, b):
-                scores = region_fn(frame, templ, t_mean, t_std, x0k, y0k)
+            def one_local(fr, templ, t_mean, t_std, x0k, y0k, b):
+                scores = region_fn(fr, templ, t_mean, t_std, x0k, y0k)
                 return search_ops.masked_region_argmax(scores, x0k, y0k, b)
 
-            l_val, l_x, l_y = jax.vmap(one_local, in_axes=(0, 0, 0, 0, 0, 0))(
-                states.template, states.t_mean, states.t_std, x0, y0, bounds
+            l_val, l_x, l_y = jax.vmap(one_local, in_axes=(f_ax, 0, 0, 0, 0, 0, 0))(
+                frame, states.template, states.t_mean, states.t_std, x0, y0, bounds
             )
         else:
 
-            def one_full(templ, t_mean, t_std, b):
-                m = full_fn(frame, templ, t_mean, t_std)
+            def one_full(fr, templ, t_mean, t_std, b):
+                m = full_fn(fr, templ, t_mean, t_std)
                 return search_ops.masked_window_argmax(m, b)
 
-            l_val, l_x, l_y = jax.vmap(one_full, in_axes=(0, 0, 0, 0))(
-                states.template, states.t_mean, states.t_std, bounds
+            l_val, l_x, l_y = jax.vmap(one_full, in_axes=(f_ax, 0, 0, 0, 0))(
+                frame, states.template, states.t_mean, states.t_std, bounds
             )
 
         # Global pass, only when some object needs it (scalar cond: one
         # branch executes).
         def do_global(frame):
-            def one(templ, t_mean, t_std):
-                return search_ops.argmax2d(full_fn(frame, templ, t_mean, t_std))
+            def one(fr, templ, t_mean, t_std):
+                return search_ops.argmax2d(full_fn(fr, templ, t_mean, t_std))
 
-            return jax.vmap(one)(states.template, states.t_mean, states.t_std)
+            return jax.vmap(one, in_axes=(f_ax, 0, 0, 0))(
+                frame, states.template, states.t_mean, states.t_std
+            )
 
         def skip(frame):
             k = states.t_mean.shape[0]
@@ -133,13 +143,32 @@ def make_multi_step(
         best_y = jnp.where(global_k, g_y, l_y)
 
         return jax.vmap(
-            lambda st, bv, bx, by, ug, ga: apply_update(
-                st, frame, bv, bx, by, ug, ga,
+            lambda st, fr, bv, bx, by, ug, ga: apply_update(
+                st, fr, bv, bx, by, ug, ga,
                 frame_shape, templ_shape, config,
-            )
-        )(states, best_val, best_x, best_y, use_global, global_k)
+            ),
+            in_axes=(0, f_ax, 0, 0, 0, 0, 0),
+        )(states, frame, best_val, best_x, best_y, use_global, global_k)
 
     return multi_step
+
+
+def make_multi_stream_step(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig = TrackerConfig(),
+    strategy: str = "fused",
+    backend: str = "xla",
+):
+    """S independent streams in lockstep: (S-state, (S,H,W)) -> (S-state, S-outs).
+
+    The serving layout for a single chip; combine with
+    pvot.parallel.sharded.make_data_parallel_multi_step to span a mesh.
+    """
+    return make_multi_step(
+        frame_shape, templ_shape, config, strategy, backend,
+        per_object_frames=True,
+    )
 
 
 def track_video_multi(

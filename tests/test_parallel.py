@@ -147,3 +147,33 @@ def test_multi_object_global_reacquisition():
     gx, gy, _, _ = target_bbox(spec, spec.num_frames - 1)
     last = np.asarray(out.bbox)[-1, 0]
     assert abs(int(last[0]) - gx) <= 3 and abs(int(last[1]) - gy) <= 3
+
+
+def test_multi_stream_matches_single():
+    """S lockstep streams == S independent single trackers."""
+    from pvot.parallel.multi import make_multi_stream_step
+    from pvot.tracker.scan import make_masked_scan_fn
+
+    specs = [_spec(5), _spec(9)]
+    videos = [generate_gray_video(s) for s in specs]
+    states, singles = [], []
+    for spec, video in zip(specs, videos):
+        x, y, w, h = target_bbox(spec, 0)
+        templ = gray_u8_to_f32(video[0])[y : y + h, x : x + w]
+        states.append(init_state(jnp.asarray(templ), (x, y, w, h)))
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    h_, w_ = videos[0].shape[1:]
+    step = make_multi_stream_step((h_, w_), (24, 24), CFG)
+    jstep = jax.jit(step)
+    for t in range(1, 10):
+        frames = jnp.stack([jnp.asarray(v[t]) for v in videos])
+        batched, out = jstep(batched, frames)
+        for s, (spec, video) in enumerate(zip(specs, videos)):
+            st = states[s]
+            from pvot.tracker.step import make_step
+
+            single_step = make_step((h_, w_), (24, 24), CFG)
+            states[s], ref_out = jax.jit(single_step)(st, jnp.asarray(video[t]))
+            np.testing.assert_array_equal(
+                np.asarray(out.bbox)[s], np.asarray(ref_out.bbox)
+            )
