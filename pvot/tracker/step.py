@@ -229,7 +229,7 @@ def jitted_step(
     backend: str = "xla",
 ):
     """Cached jit-compiled step for a given geometry (see pvot.ops.backends
-    for backend names)."""
+    for backend names).  No donation: callers may keep the input state."""
     from pvot.ops.backends import get_backend
 
     full_fn, region_fn = get_backend(backend, frame_shape, templ_shape, config)
@@ -237,4 +237,4 @@ def jitted_step(
         frame_shape, templ_shape, config,
         ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
     )
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step)
