@@ -195,6 +195,118 @@ def make_opencv_region_fn(span_x: int, span_y: int):
     return region_fn
 
 
+# --- Bucketed (traced-extent) NCC -----------------------------------------
+# Heterogeneous template sizes under vmap: every template is zero-padded
+# into a static (bh, bw) bucket; the ACTUAL extent (th, tw) is a traced
+# scalar pair.  Zeros outside the valid region contribute nothing to the
+# cross-correlation, and the window sums come from integral images whose
+# box corners are dynamic_slices at traced offsets — static shapes
+# throughout, per-object sizes at runtime.
+
+
+def template_stats_bucketed(templ_padded: jax.Array, n: jax.Array):
+    """(mean, std + 1e-6) of the VALID region of a zero-padded template.
+
+    Zeros outside the valid region vanish from the sums; `n` is the traced
+    valid-pixel count th*tw.  Mirrors pvot.ops.ncc_reference.template_stats.
+    """
+    n = n.astype(jnp.float32)
+    s = jnp.sum(templ_padded)
+    sq = jnp.sum(jnp.square(templ_padded))
+    mean = s / n
+    var = sq / n - jnp.square(mean)
+    std = jnp.sqrt(jnp.maximum(var, 0.0)) + jnp.float32(1e-6)
+    return mean, std
+
+
+def _integral(img: jax.Array) -> jax.Array:
+    """Exclusive 2-D integral image: S[y, x] = sum(img[:y, :x])."""
+    s = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)
+    return jnp.pad(s, ((1, 0), (1, 0)))
+
+
+def _box_sums_traced(img: jax.Array, th, tw, out_h: int, out_w: int):
+    """Sliding box sums with TRACED window extent (static output shape).
+
+    Every (out_h, out_w) corner plane is one dynamic_slice of the integral
+    image at traced offsets (th, tw)."""
+    s = _integral(img)
+    a = lax.dynamic_slice(s, (th, tw), (out_h, out_w))
+    b = lax.dynamic_slice(s, (jnp.int32(0), tw), (out_h, out_w))
+    c = lax.dynamic_slice(s, (th, jnp.int32(0)), (out_h, out_w))
+    d = lax.slice(s, (0, 0), (out_h, out_w))
+    return a - b - c + d
+
+
+def ncc_scores_bucketed(
+    img: jax.Array,
+    templ_padded: jax.Array,
+    t_mean: jax.Array,
+    t_std: jax.Array,
+    th: jax.Array,
+    tw: jax.Array,
+    out_h: int,
+    out_w: int,
+) -> jax.Array:
+    """NCC scores with reference epsilon semantics, traced template extent.
+
+    img (out_h + bh - 1, out_w + bw - 1) f32 (zero-pad if the source is
+    smaller), templ_padded (bh, bw) RAW template values zero-padded.
+    Scores at positions whose window hangs past the true image content are
+    garbage; callers mask them (pvot.ops.search masking covers this).
+    """
+    bh, bw = templ_padded.shape
+    mask = (
+        (lax.broadcasted_iota(jnp.int32, (bh, bw), 0) < th)
+        & (lax.broadcasted_iota(jnp.int32, (bh, bw), 1) < tw)
+    )
+    t_centered = jnp.where(mask, templ_padded - t_mean, 0.0)
+    cross = cross_correlate(img, t_centered)  # (out_h, out_w)
+    n = (th * tw).astype(jnp.float32)
+    sums = _box_sums_traced(img, th, tw, out_h, out_w)
+    ssq = _box_sums_traced(jnp.square(img), th, tw, out_h, out_w)
+    mean = sums / n
+    var = ssq / n - jnp.square(mean)
+    std = jnp.sqrt(jnp.maximum(var, 1e-6))
+    cov = cross - mean * jnp.sum(t_centered)
+    return cov / ((std + 1e-6) * (t_std + 1e-6) * n)
+
+
+def make_bucketed_region_fn(span_x: int, span_y: int, bucket: Tuple[int, int]):
+    """Region scorer over a fixed-size candidate window, traced extent.
+
+    (frame, templ_padded, t_mean, t_std, th, tw, x0, y0) -> (span_y, span_x)
+    """
+    bh, bw = bucket
+
+    def region_fn(frame, templ_padded, t_mean, t_std, th, tw, x0, y0):
+        region = lax.dynamic_slice(
+            frame, (y0, x0), (span_y + bh - 1, span_x + bw - 1)
+        )
+        return ncc_scores_bucketed(
+            region, templ_padded, t_mean, t_std, th, tw, span_y, span_x
+        )
+
+    return region_fn
+
+
+def make_bucketed_full_fn(frame_shape: Tuple[int, int], bucket: Tuple[int, int]):
+    """Full-frame scorer with traced extent: the frame is zero-padded by
+    (bh-1, bw-1) so every valid candidate for ANY template size in the
+    bucket exists; positions past (H - th + 1, W - tw + 1) are garbage and
+    must be masked by the caller."""
+    fh, fw = frame_shape
+    bh, bw = bucket
+
+    def full_fn(frame, templ_padded, t_mean, t_std, th, tw):
+        img = jnp.pad(frame, ((0, bh - 1), (0, bw - 1)))
+        return ncc_scores_bucketed(
+            img, templ_padded, t_mean, t_std, th, tw, fh, fw
+        )
+
+    return full_fn
+
+
 def make_full_fn(strip_rows: int = 128):
     """Full-map NCC callable (frame, templ, t_mean, t_std) -> map, strip-wise."""
 

@@ -7,9 +7,11 @@ per-frame step is a pure function of (state, frame), so K objects are a
 `jax.vmap` over K TrackerStates sharing each frame — one fused dispatch for
 all objects, K NCC searches batched onto the MXU together.
 
-All templates in one MultiTracker must share a (th, tw) shape (vmap needs a
-uniform pytree); heterogeneous ROI sizes go in separate trackers or get
-resized/padded by the caller.
+Templates sharing one (th, tw) shape use the plain batched path
+(init_multi_state / make_multi_step).  Heterogeneous template sizes use the
+bucketed path (init_multi_state_bucketed / make_multi_step_bucketed): zero
+padding into a shared bucket with TRACED per-object extents, so shapes stay
+static while each tracker runs its own geometry.
 """
 
 from __future__ import annotations
@@ -199,3 +201,189 @@ def track_video_multi(
         states, out = scan_fn(states, jax.device_put(chunk), jax.device_put(valid))
         outs.append(jax.tree.map(lambda a: a[:n_real], out))
     return states, _stack_outputs(outs)
+
+
+# --- Heterogeneous template sizes (bucketed) --------------------------------
+
+
+def init_multi_state_bucketed(
+    templates: Sequence[np.ndarray],
+    rois: Sequence[Tuple[int, int, int, int]],
+    bucket: Tuple[int, int] | None = None,
+) -> TrackerState:
+    """Stack K trackers whose templates have DIFFERENT sizes.
+
+    Templates are zero-padded into a shared (bh, bw) bucket (default: the
+    element-wise max); the actual per-object size rides in bbox_w/bbox_h,
+    which by the reference's semantics always equal the template size
+    (tracker_ghc/src/main.cpp:451-454).
+    """
+    import numpy as onp
+
+    from pvot.ops.ncc_matmul import template_stats_bucketed
+
+    if len(templates) != len(rois):
+        raise ValueError("templates and rois must pair up")
+    shapes = [tuple(onp.shape(t)) for t in templates]
+    bh = max(s[0] for s in shapes)
+    bw = max(s[1] for s in shapes)
+    if bucket is not None:
+        if bucket[0] < bh or bucket[1] < bw:
+            raise ValueError(f"bucket {bucket} smaller than largest template")
+        bh, bw = bucket
+    states = []
+    for t, (x, y, w, h) in zip(templates, rois):
+        t = jnp.asarray(t, jnp.float32)
+        if t.shape != (h, w):
+            raise ValueError(f"template shape {t.shape} != roi (h={h}, w={w})")
+        padded = jnp.pad(t, ((0, bh - h), (0, bw - w)))
+        t_mean, t_std = template_stats_bucketed(padded, jnp.int32(h * w))
+        states.append(
+            TrackerState(
+                bbox_x=jnp.int32(x), bbox_y=jnp.int32(y),
+                bbox_w=jnp.int32(w), bbox_h=jnp.int32(h),
+                template=padded, t_mean=t_mean, t_std=t_std,
+                lost_count=jnp.int32(0), use_global=jnp.bool_(False),
+            )
+        )
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def make_multi_step_bucketed(
+    frame_shape: Tuple[int, int],
+    bucket: Tuple[int, int],
+    config: TrackerConfig = TrackerConfig(),
+):
+    """Multi-object step for heterogeneous template sizes.
+
+    Same shape as make_multi_step (vmapped local region pass; scalar-cond
+    global pass) built on the traced-extent bucketed NCC
+    (pvot.ops.ncc_matmul.ncc_scores_bucketed): every per-object size
+    quantity (template extent, NCC-map extent, window bounds, window pixel
+    count) is a traced scalar; shapes stay static at the bucket.
+    """
+    from jax import lax
+
+    from pvot.ops import search as search_ops
+    from pvot.ops.ncc_matmul import (
+        make_bucketed_full_fn,
+        make_bucketed_region_fn,
+        template_stats_bucketed,
+    )
+    from pvot.tracker.state import is_bbox_outside_frame
+    from pvot.tracker.step import _ensure_f32
+
+    frame_h, frame_w = frame_shape
+    bh, bw = bucket
+    span_x = 2 * config.search_radius_x + 1
+    span_y = 2 * config.search_radius_y + 1
+    lost_threshold = int(config.lost_frame_threshold)
+    lr = float(config.template_update_lr)
+    region_fn = make_bucketed_region_fn(span_x, span_y, bucket)
+    full_fn = make_bucketed_full_fn(frame_shape, bucket)
+    # The local fast path requires every per-object NCC map to contain the
+    # candidate span; the largest bucketed template is the binding case.
+    if frame_w - bw + 1 < span_x or frame_h - bh + 1 < span_y:
+        raise ValueError(
+            "bucketed multi-step needs frame - bucket + 1 >= search span"
+        )
+
+    def multi_step(states: TrackerState, frame: jax.Array):
+        frame = _ensure_f32(frame)
+        frame_padded = jnp.pad(frame, ((0, bh - 1), (0, bw - 1)))
+        th_k = states.bbox_h  # == template extent (reference invariant)
+        tw_k = states.bbox_w
+        out_w_k = frame_w - tw_k + 1
+        out_h_k = frame_h - th_k + 1
+        bbox_outside = is_bbox_outside_frame(
+            states.bbox_x, states.bbox_y, states.bbox_w, states.bbox_h,
+            frame_w, frame_h,
+        )
+        cx = states.bbox_x + states.bbox_w // 2
+        cy = states.bbox_y + states.bbox_h // 2
+        use_global = (
+            states.use_global | bbox_outside | (states.lost_count >= lost_threshold)
+        )
+        bounds = search_ops.local_window_bounds(
+            cx, cy, tw_k, th_k, out_w_k, out_h_k,
+            config.search_radius_x, config.search_radius_y,
+        )
+        global_k = use_global | ~bounds.valid
+
+        x0 = jnp.minimum(bounds.min_tx, out_w_k - span_x)
+        y0 = jnp.minimum(bounds.min_ty, out_h_k - span_y)
+
+        def one_local(templ, t_mean, t_std, th, tw, x0k, y0k, b):
+            scores = region_fn(frame_padded, templ, t_mean, t_std, th, tw, x0k, y0k)
+            return search_ops.masked_region_argmax(scores, x0k, y0k, b)
+
+        l_val, l_x, l_y = jax.vmap(one_local)(
+            states.template, states.t_mean, states.t_std,
+            th_k, tw_k, x0, y0, bounds,
+        )
+
+        def do_global(frame):
+            def one(fr, templ, t_mean, t_std, th, tw, ow, oh):
+                m = full_fn(fr, templ, t_mean, t_std, th, tw)
+                ys = lax.broadcasted_iota(jnp.int32, m.shape, 0)
+                xs = lax.broadcasted_iota(jnp.int32, m.shape, 1)
+                m = jnp.where((xs < ow) & (ys < oh), m, search_ops.NEG_INF)
+                return search_ops.argmax2d(m)
+
+            return jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+                frame, states.template, states.t_mean, states.t_std,
+                th_k, tw_k, out_w_k, out_h_k,
+            )
+
+        def skip(frame):
+            k = states.t_mean.shape[0]
+            return (
+                jnp.zeros((k,), jnp.float32),
+                jnp.zeros((k,), jnp.int32),
+                jnp.zeros((k,), jnp.int32),
+            )
+
+        g_val, g_x, g_y = lax.cond(jnp.any(global_k), do_global, skip, frame)
+        best_val = jnp.where(global_k, g_val, l_val)
+        best_x = jnp.where(global_k, g_x, l_x)
+        best_y = jnp.where(global_k, g_y, l_y)
+
+        def update_one(st, bv, bx, by, ug, ga, th, tw):
+            threshold = jnp.where(
+                ug, jnp.float32(config.global_confidence),
+                jnp.float32(config.min_confidence),
+            )
+            accept = bv >= threshold
+            nbx = jnp.where(accept, bx, st.bbox_x)
+            nby = jnp.where(accept, by, st.bbox_y)
+            lost = jnp.where(accept, jnp.int32(0), st.lost_count + 1)
+            n_out = is_bbox_outside_frame(nbx, nby, tw, th, frame_w, frame_h)
+            ug_next = jnp.where(accept & ~n_out, jnp.bool_(False), ug)
+            strong = accept & (bv >= jnp.float32(config.strong_confidence))
+            patch = lax.dynamic_slice(frame_padded, (nby, nbx), (bh, bw))
+            mask = (
+                (lax.broadcasted_iota(jnp.int32, (bh, bw), 0) < th)
+                & (lax.broadcasted_iota(jnp.int32, (bh, bw), 1) < tw)
+            )
+            blended = jnp.where(mask, (1.0 - lr) * st.template + lr * patch, 0.0)
+            new_t = jnp.where(strong, blended, st.template)
+            t_mean, t_std = lax.cond(
+                strong,
+                lambda t: template_stats_bucketed(t, th * tw),
+                lambda _: (st.t_mean, st.t_std),
+                new_t,
+            )
+            new_state = TrackerState(
+                nbx, nby, tw, th, new_t, t_mean, t_std, lost, ug_next
+            )
+            out = StepOutput(
+                bbox=jnp.stack([nbx, nby, tw, th]),
+                score=bv, used_global=ga, updated=accept,
+            )
+            return new_state, out
+
+        return jax.vmap(update_one)(
+            states, best_val, best_x, best_y, use_global, global_k, th_k, tw_k
+        )
+
+    return multi_step

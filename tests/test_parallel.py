@@ -177,3 +177,76 @@ def test_multi_stream_matches_single():
             np.testing.assert_array_equal(
                 np.asarray(out.bbox)[s], np.asarray(ref_out.bbox)
             )
+
+
+def test_bucketed_multi_object_heterogeneous_sizes():
+    """K objects with DIFFERENT template sizes == K independent single
+    trackers (bucketed traced-extent path)."""
+    from pvot.parallel.multi import init_multi_state_bucketed, make_multi_step_bucketed
+    from pvot.tracker.scan import make_masked_scan_fn
+    from pvot.tracker.step import make_step
+
+    spec = SyntheticSpec(
+        width=256, height=192, num_frames=14, target_w=24, target_h=24,
+        seed=5, amplitude=0.25,
+    )
+    video = generate_gray_video(spec)
+    g0 = gray_u8_to_f32(video[0])
+    x, y, w, h = target_bbox(spec, 0)
+    rois = [(x, y, w, h), (40, 40, 16, 32), (120, 30, 36, 20)]
+    templates = [g0[ry : ry + hh, rx : rx + ww] for rx, ry, ww, hh in rois]
+    states = init_multi_state_bucketed(templates, rois)
+    assert states.template.shape == (3, 32, 36)
+
+    h_, w_ = video.shape[1:]
+    mstep = jax.jit(make_multi_step_bucketed((h_, w_), (32, 36), CFG))
+    singles = [init_state(jnp.asarray(t), r) for t, r in zip(templates, rois)]
+    ssteps = [
+        jax.jit(make_step((h_, w_), t.shape, CFG, strategy="fused"))
+        for t in templates
+    ]
+    for t in range(1, 14):
+        frame = jnp.asarray(video[t])
+        states, out = mstep(states, frame)
+        for k in range(3):
+            singles[k], ref = ssteps[k](singles[k], frame)
+            np.testing.assert_array_equal(
+                np.asarray(out.bbox)[k], np.asarray(ref.bbox),
+                err_msg=f"frame {t} object {k}",
+            )
+            # Bucketed box sums integrate over the (bigger) bucket extent, so
+            # f32 integral-image rounding grows; trajectories stay exact.
+            np.testing.assert_allclose(
+                float(out.score[k]), float(ref.score), atol=2e-3
+            )
+
+
+def test_bucketed_global_reacquisition():
+    """Bucketed path: lost object re-acquires via the traced-extent
+    full-frame pass."""
+    from pvot.parallel.multi import init_multi_state_bucketed, make_multi_step_bucketed
+    from pvot.config import TrackerConfig
+
+    cfg = TrackerConfig(
+        search_radius_x=20, search_radius_y=20, lost_frame_threshold=6
+    )
+    spec = SyntheticSpec(
+        width=320, height=240, num_frames=60, target_w=32, target_h=32,
+        seed=3, exit_and_reenter=True,
+    )
+    video = generate_gray_video(spec)
+    g0 = gray_u8_to_f32(video[0])
+    x, y, w, h = target_bbox(spec, 0)
+    rois = [(x, y, w, h), (16, 16, 24, 20)]
+    templates = [g0[ry : ry + hh, rx : rx + ww] for rx, ry, ww, hh in rois]
+    states = init_multi_state_bucketed(templates, rois)
+    h_, w_ = video.shape[1:]
+    mstep = jax.jit(make_multi_step_bucketed((h_, w_), (32, 32), cfg))
+    globals_seen = False
+    for t in range(1, 60):
+        states, out = mstep(states, jnp.asarray(video[t]))
+        globals_seen = globals_seen or bool(np.asarray(out.used_global)[0])
+    assert globals_seen
+    gx, gy, _, _ = target_bbox(spec, 59)
+    b = np.asarray(out.bbox)[0]
+    assert abs(int(b[0]) - gx) <= 3 and abs(int(b[1]) - gy) <= 3
