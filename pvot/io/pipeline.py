@@ -149,7 +149,6 @@ def track_stream(
     decoded and converted concurrently with device tracking.
     """
     import jax
-    import jax.numpy as jnp
 
     from pvot.config import TrackerConfig
     from pvot.tracker.scan import _cached_masked_scan, _stack_outputs

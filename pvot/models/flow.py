@@ -16,7 +16,6 @@ jittable function, scanned over the video like the NCC tracker.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

@@ -22,7 +22,6 @@ device arithmetic.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -24,7 +24,6 @@ import numpy as np
 
 from pvot.config import TrackerConfig
 from pvot.tracker.state import StepOutput, TrackerState, init_state
-from pvot.tracker.step import make_step
 
 
 def init_multi_state(

@@ -21,7 +21,6 @@ it jits under a Mesh with in/out shardings and runs one real step.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
