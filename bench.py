@@ -123,6 +123,7 @@ def run_bench(
         "vs_baseline": round(fps / 12.15, 2),
         "frames": num_frames,
         "elapsed_s": round(elapsed, 4),
+        "ms_per_frame": round(elapsed / num_frames * 1000, 4),
         "max_l1_err_px": int(max(errs)),
         "all_updated": bool(np.asarray(host.updated).all()),
         "backend": backend,

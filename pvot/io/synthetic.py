@@ -34,6 +34,10 @@ class SyntheticSpec:
     # re-enters afterwards (exercises the lost-object / global re-acquisition
     # state machine, reference tracker_ghc/src/main.cpp:49-55, 183-192).
     exit_and_reenter: bool = False
+    # Horizontal background scroll in px/frame (camera-pan analog): the
+    # background moves while the target follows its own path, so trackers
+    # can't succeed by latching onto background texture.
+    background_scroll: float = 0.0
 
 
 def target_center(spec: SyntheticSpec, frame_idx: int) -> Tuple[int, int]:
@@ -82,7 +86,11 @@ def generate_gray_frames(spec: SyntheticSpec) -> Iterator[np.ndarray]:
     """Yield uint8 grayscale frames (H, W) one at a time."""
     target, bg, rng = _textures(spec)
     for i in range(spec.num_frames):
-        frame = bg.copy()
+        if spec.background_scroll:
+            shift = int(round(spec.background_scroll * i)) % spec.width
+            frame = np.roll(bg, -shift, axis=1).copy()
+        else:
+            frame = bg.copy()
         x, y, w, h = target_bbox(spec, i)
         # Paste the visible intersection of the target.
         x0, y0 = max(0, x), max(0, y)

@@ -208,3 +208,22 @@ def test_batch_updates_once_per_batch():
     n_frames = len(video) - 1
     assert updated.sum() == n_frames // 4
     assert updated.reshape(-1)[3::4][: n_frames // 4].all()
+
+
+def test_tracks_through_background_motion():
+    """Camera-pan robustness: the background scrolls while the target moves
+    independently; NCC must lock the target, not the background."""
+    spec = SyntheticSpec(
+        width=320, height=240, num_frames=30, target_w=32, target_h=32,
+        seed=7, amplitude=0.3, background_scroll=3.0,
+    )
+    video = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    templ = gray_u8_to_f32(video[0])[y : y + h, x : x + w]
+    state = init_state(jnp.asarray(templ), (x, y, w, h))
+    _, out = track_video(video[1:], state, CFG, strategy="fused")
+    for i, b in enumerate(np.asarray(out.bbox)):
+        gx, gy, _, _ = target_bbox(spec, i + 1)
+        assert abs(int(b[0]) - gx) <= 2 and abs(int(b[1]) - gy) <= 2, (
+            f"frame {i+1}: {b[:2]} vs ({gx},{gy})"
+        )
