@@ -26,3 +26,15 @@ __all__ = [
     "track_video",
     "track_video_batched",
 ]
+
+
+def __getattr__(name):  # lazy heavyweight entry points
+    if name == "track_stream":
+        from pvot.io.pipeline import track_stream
+
+        return track_stream
+    if name == "track_video_multi":
+        from pvot.parallel.multi import track_video_multi
+
+        return track_video_multi
+    raise AttributeError(f"module 'pvot' has no attribute {name!r}")
