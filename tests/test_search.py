@@ -102,3 +102,23 @@ def test_region_origin_contains_window():
             assert 0 <= int(y0) <= out_h - span_y
             assert int(x0) <= int(b.min_tx) and int(b.max_tx) <= int(x0) + span_x - 1
             assert int(y0) <= int(b.min_ty) and int(b.max_ty) <= int(y0) + span_y - 1
+
+
+def test_window_bounds_fuzz_vs_cpp():
+    """Randomized sweep of the window math against the C++ transcription."""
+    rng = np.random.default_rng(123)
+    for _ in range(300):
+        out_w = int(rng.integers(10, 800))
+        out_h = int(rng.integers(10, 600))
+        tw = int(rng.integers(1, 120))
+        th = int(rng.integers(1, 120))
+        rx = int(rng.integers(1, 200))
+        ry = int(rng.integers(1, 200))
+        cx = int(rng.integers(-50, out_w + tw + 50))
+        cy = int(rng.integers(-50, out_h + th + 50))
+        b = search_ops.local_window_bounds(
+            jnp.int32(cx), jnp.int32(cy), tw, th, out_w, out_h, rx, ry
+        )
+        want = cpp_window(cx, cy, tw, th, out_w, out_h, rx, ry)
+        got = (int(b.min_tx), int(b.max_tx), int(b.min_ty), int(b.max_ty))
+        assert got == want, (cx, cy, tw, th, out_w, out_h, rx, ry)
