@@ -89,6 +89,11 @@ def make_search_sharded_step(
 
     if out_h * out_w >= 2**31:
         raise ValueError("NCC map too large for int32 position keys")
+    if out_w < span_x or out_h < span_y:
+        raise ValueError(
+            "search-sharded step needs the NCC map to contain the candidate "
+            f"span: out=({out_h}, {out_w}) < span=({span_y}, {span_x})"
+        )
 
     def _slab_scores_local(frame, templ, t_mean, t_std, x0, y0, my):
         """Score this device's slab of the candidate window."""

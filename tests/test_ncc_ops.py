@@ -119,3 +119,30 @@ def test_reference_vs_opencv_differ_only_in_normalization(frame_and_templ):
     assert np.unravel_index(np.argmax(ref), ref.shape) == np.unravel_index(
         np.argmax(ocv), ocv.shape
     )
+
+
+def test_backend_registry_covers_reference_modes(rng):
+    """Every reference CLI mode resolves to working (full, region) fns."""
+    from pvot.config import TrackerConfig
+    from pvot.ops.backends import MODE_TO_BACKEND, get_backend
+
+    cfg = TrackerConfig(search_radius_x=6, search_radius_y=6)
+    frame = jnp.asarray(rng.random((48, 64)).astype(np.float32))
+    templ = jnp.asarray(rng.random((8, 8)).astype(np.float32))
+    from pvot.ops.ncc_reference import template_stats
+
+    t_mean, t_std = template_stats(templ)
+    want = np.asarray(ncc_map_reference(frame, templ))
+    for mode in ("cuda", "naive", "xla", "shared", "const", "const_tiled",
+                 "batch", "ref_conv"):
+        assert mode in MODE_TO_BACKEND
+        full_fn, region_fn = get_backend(mode, (48, 64), (8, 8), cfg)
+        got = np.asarray(full_fn(frame, templ, t_mean, t_std))
+        np.testing.assert_allclose(got, want, atol=5e-5, err_msg=mode)
+        reg = np.asarray(
+            region_fn(frame, templ, t_mean, t_std, jnp.int32(5), jnp.int32(7))
+        )
+        np.testing.assert_allclose(reg, want[7:20, 5:18], atol=5e-5, err_msg=mode)
+    # cpu mode normalizes differently (TM_CCOEFF_NORMED) but must run.
+    full_fn, region_fn = get_backend("cpu", (48, 64), (8, 8), cfg)
+    assert np.asarray(full_fn(frame, templ, t_mean, t_std)).shape == want.shape
