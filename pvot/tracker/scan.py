@@ -76,7 +76,10 @@ def _cached_masked_scan(frame_shape, templ_shape, config, strategy, backend,
             frame_shape, templ_shape, config,
             ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
         )
-        fn = make_masked_scan_fn(step)
+        # No donation: the state is tiny (the template dominates at ~25 KB)
+        # and donating would invalidate a caller's initial state if they
+        # track two clips from the same starting point.
+        fn = make_masked_scan_fn(step, donate=False)
         _SCAN_CACHE[key] = fn
     return fn
 
