@@ -238,7 +238,7 @@ def track_video_batched(
     def scan_batches(state, batches, valid):  # batches (K, n, H, W)
         return lax.scan(masked_batch_step, state, (batches, valid))
 
-    scan_fn = jax.jit(scan_batches, donate_argnums=(0,))
+    scan_fn = jax.jit(scan_batches)
 
     num_full = f // n
     outs = []
