@@ -94,6 +94,11 @@ def parse_args(argv: List[str]):
     p.add_argument("--strong-confidence", type=float, default=TrackerConfig.strong_confidence)
     p.add_argument("--template-update-lr", type=float, default=TrackerConfig.template_update_lr)
     p.add_argument("--lost-frame-threshold", type=int, default=TrackerConfig.lost_frame_threshold)
+    p.add_argument(
+        "--no-global-search", action="store_true",
+        help="disable lost-object re-acquisition (the reference Windows-tree"
+             "/main_old behavior)",
+    )
     p.add_argument("--no-display", action="store_true", help="never open GUI windows")
     p.add_argument(
         "--checkpoint-out", type=str, default=None,
@@ -121,6 +126,7 @@ def _config_from_args(args) -> TrackerConfig:
         strong_confidence=args.strong_confidence,
         template_update_lr=args.template_update_lr,
         lost_frame_threshold=args.lost_frame_threshold,
+        enable_global_search=not args.no_global_search,
     ).validate()
 
 

@@ -33,6 +33,12 @@ class TrackerConfig:
     strong_confidence: float = 0.7
     template_update_lr: float = 0.1
     lost_frame_threshold: int = 50
+    # Lost-object global re-acquisition (C8) exists only in the reference's
+    # feature-complete GHC main; the Windows tree / main_old variants lack it
+    # (SURVEY.md §2a C8).  False reproduces those variants: the tracker never
+    # enters sticky global mode (the collapsed-window full-map fallback, which
+    # all variants share, remains).
+    enable_global_search: bool = True
 
     def validate(self) -> "TrackerConfig":
         if self.search_radius_x < 1 or self.search_radius_y < 1:
@@ -44,8 +50,10 @@ class TrackerConfig:
         return self
 
 
-# The reference's Windows tree uses 80-px radii (tracker/src/main.cpp:11-12);
-# expose that variant for completeness.
-WINDOWS_TREE_CONFIG = TrackerConfig(search_radius_x=80, search_radius_y=80)
+# The reference's Windows tree uses 80-px radii (tracker/src/main.cpp:11-12)
+# and has no lost-object global re-acquisition (C8 is GHC-tree only).
+WINDOWS_TREE_CONFIG = TrackerConfig(
+    search_radius_x=80, search_radius_y=80, enable_global_search=False
+)
 
 DEFAULT_CONFIG = TrackerConfig()

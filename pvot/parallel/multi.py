@@ -91,6 +91,8 @@ def make_multi_step(
         use_global = (
             states.use_global | bbox_outside | (states.lost_count >= lost_threshold)
         )
+        if not config.enable_global_search:  # Windows-tree/main_old variant
+            use_global = jnp.zeros_like(use_global)
         bounds = search_ops.local_window_bounds(
             cx, cy, templ_w, templ_h, out_w, out_h,
             config.search_radius_x, config.search_radius_y,
@@ -303,6 +305,8 @@ def make_multi_step_bucketed(
         use_global = (
             states.use_global | bbox_outside | (states.lost_count >= lost_threshold)
         )
+        if not config.enable_global_search:  # Windows-tree/main_old variant
+            use_global = jnp.zeros_like(use_global)
         bounds = search_ops.local_window_bounds(
             cx, cy, tw_k, th_k, out_w_k, out_h_k,
             config.search_radius_x, config.search_radius_y,

@@ -123,6 +123,8 @@ def make_search_sharded_step(
                     | bbox_outside
                     | (state.lost_count >= config.lost_frame_threshold)
                 )
+                if not config.enable_global_search:
+                    use_global = jnp.zeros_like(use_global)
                 bounds = search_ops.local_window_bounds(
                     cx, cy, templ_w, templ_h, out_w, out_h,
                     config.search_radius_x, config.search_radius_y,

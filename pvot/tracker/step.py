@@ -115,7 +115,12 @@ def make_step(
         )
         cx = state.bbox_x + state.bbox_w // 2
         cy = state.bbox_y + state.bbox_h // 2
-        use_global = state.use_global | bbox_outside | (state.lost_count >= lost_threshold)
+        if config.enable_global_search:
+            use_global = (
+                state.use_global | bbox_outside | (state.lost_count >= lost_threshold)
+            )
+        else:  # Windows-tree / main_old behavior: no re-acquisition mode
+            use_global = jnp.bool_(False)
         bounds = search_ops.local_window_bounds(
             cx, cy, templ_w, templ_h, out_w, out_h,
             config.search_radius_x, config.search_radius_y,

@@ -227,3 +227,20 @@ def test_tracks_through_background_motion():
         assert abs(int(b[0]) - gx) <= 2 and abs(int(b[1]) - gy) <= 2, (
             f"frame {i+1}: {b[:2]} vs ({gx},{gy})"
         )
+
+
+def test_disabled_global_search_never_reacquires(reenter_video, reenter_spec):
+    """enable_global_search=False reproduces the Windows-tree/main_old
+    behavior (no C8): the tracker never enters global mode and stays lost
+    after the target exits."""
+    cfg = TrackerConfig(lost_frame_threshold=8, enable_global_search=False)
+    roi, state = _init(reenter_video, reenter_spec)
+    final, out = track_video(reenter_video[1:], state, cfg, strategy="fused")
+    used_global = np.asarray(out.used_global)
+    assert not used_global.any()
+    # Compare: the GHC behavior recovers (test_global_reacquisition); this
+    # variant keeps the stale box once the target leaves.
+    third = reenter_spec.num_frames // 3
+    stale = np.asarray(out.bbox)[third + 10]
+    last = np.asarray(out.bbox)[-1]
+    np.testing.assert_array_equal(stale, last)
