@@ -135,7 +135,15 @@ def _load_frames(args) -> Tuple[np.ndarray, float]:
     if args.synthetic:
         from pvot.io.synthetic import SyntheticSpec, generate_bgr_frames
 
-        w, h, f = (int(v) for v in args.synthetic.lower().split("x"))
+        try:
+            w, h, f = (int(v) for v in args.synthetic.lower().split("x"))
+        except ValueError:
+            print(
+                f"Invalid --synthetic {args.synthetic!r}: expected WxHxF, "
+                "e.g. 1280x720x300",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
         spec = SyntheticSpec(width=w, height=h, num_frames=f)
         return np.stack(list(generate_bgr_frames(spec))), 30.0
     from pvot.io.video import VideoReader
@@ -156,10 +164,24 @@ def _select_roi(args, frames_bgr: np.ndarray) -> Tuple[int, Tuple[int, int, int,
     if args.first:
         start = 0
     if args.roi:
-        x, y, w, h = (int(v) for v in args.roi.split(","))
+        try:
+            x, y, w, h = (int(v) for v in args.roi.split(","))
+        except ValueError:
+            print(
+                f"Invalid --roi {args.roi!r}: expected X,Y,W,H integers",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+        fh, fw = frames_bgr.shape[1:3]
         if w <= 0 or h <= 0:
             print("No template selected", file=sys.stderr)
             raise SystemExit(-1)
+        if x < 0 or y < 0 or x + w > fw or y + h > fh:
+            print(
+                f"--roi {args.roi} lies outside the {fw}x{fh} frame",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
         return start, (x, y, w, h)
     if args.no_display or not os.environ.get("DISPLAY"):
         print(

@@ -95,3 +95,23 @@ def test_checkpoint_and_resume(tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Interactive tracking summary: frames=13," in out
+
+
+def test_malformed_inputs_give_clean_errors(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("DISPLAY", raising=False)
+    with pytest.raises(SystemExit) as e:
+        main(["--synthetic", "720p", "--first", "--roi", "1,1,8,8"])
+    assert e.value.code == 2
+    assert "expected WxHxF" in capsys.readouterr().err
+    with pytest.raises(SystemExit) as e:
+        main(["--synthetic", "160x120x4", "--first", "--roi", "1,2,3"])
+    assert e.value.code == 2
+    assert "expected X,Y,W,H" in capsys.readouterr().err
+    with pytest.raises(SystemExit) as e:
+        main(["--synthetic", "160x120x4", "--first", "--roi", "150,100,32,32"])
+    assert e.value.code == 2
+    assert "outside" in capsys.readouterr().err
+    with pytest.raises(SystemExit) as e:
+        main(["--synthetic", "160x120x4", "--first", "--roi", "10,10,0,5"])
+    assert e.value.code == -1
