@@ -36,8 +36,11 @@ class TrackerConfig:
     # Lost-object global re-acquisition (C8) exists only in the reference's
     # feature-complete GHC main; the Windows tree / main_old variants lack it
     # (SURVEY.md §2a C8).  False reproduces those variants: the tracker never
-    # enters sticky global mode (the collapsed-window full-map fallback, which
-    # all variants share, remains).
+    # enters sticky global mode.  The collapsed-window full-map fallback stays
+    # on even then — a deliberate robustness addition; the Windows tree has no
+    # such fallback (tracker/src/main.cpp:141-150 builds the cv::Rect from the
+    # clamped bounds unconditionally and would misbehave on a collapsed
+    # window).
     enable_global_search: bool = True
 
     def validate(self) -> "TrackerConfig":

@@ -3,9 +3,9 @@
 The reference converts each BGR frame to CV_32F grayscale scaled by 1/255
 (`to_gray` in tracker_ghc/include/utils.hpp:4-13: cv::cvtColor(BGR2GRAY) on
 uint8, then convertTo(CV_32F, 1/255)).  OpenCV's uint8 BGR2GRAY is a
-fixed-point weighted sum with rounding:
+fixed-point weighted sum with rounding, 15 fractional bits:
 
-    Y = (B*1868 + G*9617 + R*4899 + 8192) >> 14          (weights sum to 2^14)
+    Y = (B*3735 + G*19235 + R*9798 + 16384) >> 15        (weights sum to 2^15)
 
 We reproduce that bit-exactly on the host (via cv2 when present, else the
 fixed-point formula in numpy), and also provide a float-weight device-side

@@ -41,7 +41,11 @@ def load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO) and not _build():
+        # Always run make: it's a timestamp no-op when the .so is fresh and
+        # a rebuild when libpvot.cpp changed (a stale binary must never
+        # shadow source changes).  A pre-existing .so still loads when the
+        # toolchain is missing.
+        if not _build() and not os.path.exists(_SO):
             _build_failed = True
             return None
         try:
@@ -128,16 +132,22 @@ class FrameRing:
         self.capacity = capacity
 
     def push(self, frame: np.ndarray) -> bool:
+        if self._handle is None:
+            raise RuntimeError("push on a closed FrameRing")
         frame = np.ascontiguousarray(frame, np.uint8)
         assert frame.shape == self._shape
         return bool(self._lib.pvot_ring_push(self._handle, frame.ctypes.data))
 
     def pop(self, max_frames: int) -> np.ndarray:
+        if self._handle is None:
+            raise RuntimeError("pop on a closed FrameRing")
         out = np.empty((max_frames, *self._shape), np.uint8)
         n = self._lib.pvot_ring_pop(self._handle, out.ctypes.data, max_frames)
         return out[:n]
 
     def __len__(self) -> int:
+        if self._handle is None:
+            return 0
         return int(self._lib.pvot_ring_size(self._handle))
 
     def close(self) -> None:

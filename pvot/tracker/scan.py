@@ -32,8 +32,13 @@ from pvot.tracker.state import StepOutput, TrackerState
 from pvot.tracker.step import make_step
 
 
-def make_scan_fn(step, donate: bool = True):
-    """jit(scan(step)) over a chunk of frames: (state, (C,H,W)) -> (state, outs)."""
+def make_scan_fn(step, donate: bool = False):
+    """jit(scan(step)) over a chunk of frames: (state, (C,H,W)) -> (state, outs).
+
+    donate defaults to False: donating invalidates the caller's initial
+    state buffer on TPU (a reuse footgun CPU tests cannot catch, because
+    donation is a no-op there).  The state is tiny (~25 KB template), so
+    donation buys nothing; opt in only for throwaway states."""
 
     def scan_chunk(state: TrackerState, frames: jax.Array):
         return lax.scan(step, state, frames)
@@ -41,12 +46,13 @@ def make_scan_fn(step, donate: bool = True):
     return jax.jit(scan_chunk, donate_argnums=(0,) if donate else ())
 
 
-def make_masked_scan_fn(step, donate: bool = True):
+def make_masked_scan_fn(step, donate: bool = False):
     """Like make_scan_fn but each frame carries a validity flag; invalid
     (padding) frames leave the state untouched.  Lets every chunk share ONE
     compiled program regardless of how many real frames the tail chunk has —
     compilation via the remote TPU service is expensive (~100 s for a
-    32-frame scan), so one shape must serve all chunks."""
+    32-frame scan), so one shape must serve all chunks.  donate defaults to
+    False for the same reuse reason as make_scan_fn."""
 
     def masked_step(state: TrackerState, xs):
         frame, valid = xs

@@ -18,14 +18,28 @@ _FIELDS = TrackerState._fields
 FORMAT_VERSION = 1
 
 
-def save_state(path: str, state: TrackerState) -> None:
-    """Serialize a TrackerState (single or batched) to an .npz file."""
+def normalize_path(path: str) -> str:
+    """np.savez silently appends '.npz' to suffix-less paths; normalize up
+    front so the name we save, report, and later load all agree."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def save_state(path: str, state: TrackerState) -> str:
+    """Serialize a TrackerState (single or batched) to an .npz file.
+
+    Returns the (normalized) path actually written."""
+    path = normalize_path(path)
     arrays = {name: np.asarray(getattr(state, name)) for name in _FIELDS}
     np.savez(path, __version__=FORMAT_VERSION, **arrays)
+    return path
 
 
 def load_state(path: str) -> TrackerState:
     """Load a TrackerState saved by save_state."""
+    import os
+
+    if not os.path.exists(path):
+        path = normalize_path(path)
     with np.load(path) as data:
         version = int(data["__version__"])
         if version != FORMAT_VERSION:

@@ -49,3 +49,39 @@ def test_frame_ring(rng):
     assert len(ring) == 0
     assert ring.pop(2).shape == (0, 8, 8)
     ring.close()
+
+
+def test_stale_so_rebuilt(tmp_path):
+    """A libpvot.so older than libpvot.cpp must be rebuilt by load(), so a
+    stale binary can never shadow source changes (the .so is not in git)."""
+    import os
+    import subprocess
+    import sys
+
+    from pvot.runtime import native
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    so = native._SO
+    cpp = os.path.join(os.path.dirname(so), "libpvot.cpp")
+    # Make the .so stale relative to the source, then load in a fresh
+    # interpreter (module-level cache would mask the rebuild here).
+    old = os.path.getmtime(cpp) - 100
+    os.utime(so, (old, old))
+    code = (
+        "from pvot.runtime import native; import os, sys;"
+        "assert native.load() is not None;"
+        "sys.exit(0 if os.path.getmtime(native._SO) > "
+        f"{old + 50} else 1)"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(native.__file__))))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+    assert result.returncode == 0, result.stderr

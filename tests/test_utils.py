@@ -51,3 +51,23 @@ def test_profile_trace_writes_trace(tmp_path):
     # jax.profiler writes a plugins/profile/<ts>/ tree
     found = list(tmp_path.rglob("*.xplane.pb")) + list(tmp_path.rglob("*trace*"))
     assert found, "no profiler artifacts written"
+
+
+def test_checkpoint_path_normalized(tmp_path):
+    """`--checkpoint-out state` must save AND resolve as state.npz (np.savez
+    appends the suffix silently; save/report/load must agree)."""
+    import jax.numpy as jnp
+
+    from pvot.tracker.state import init_state
+    from pvot.utils.checkpoint import load_state, save_state
+
+    state = init_state(jnp.ones((4, 4), jnp.float32), (1, 2, 4, 4))
+    raw = str(tmp_path / "state")  # no .npz suffix
+    written = save_state(raw, state)
+    assert written.endswith(".npz")
+    import os
+
+    assert os.path.exists(written)
+    for p in (raw, written):  # both spellings load
+        loaded = load_state(p)
+        assert int(loaded.bbox_x) == 1 and int(loaded.bbox_y) == 2
