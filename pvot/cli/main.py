@@ -101,6 +101,11 @@ def parse_args(argv: List[str]):
     )
     p.add_argument("--no-display", action="store_true", help="never open GUI windows")
     p.add_argument(
+        "--stage-timing", action="store_true",
+        help="print the Windows-tree summary block with the compute-only "
+             "time accumulator (tracker/src/main.cpp:175-182)",
+    )
+    p.add_argument(
         "--checkpoint-out", type=str, default=None,
         help="save the final tracker state (bbox/template/counters) to this .npz",
     )
@@ -130,37 +135,106 @@ def _config_from_args(args) -> TrackerConfig:
     ).validate()
 
 
-def _load_frames(args) -> Tuple[np.ndarray, float]:
-    """Returns (BGR frames (F,H,W,3) uint8, fps)."""
-    if args.synthetic:
-        from pvot.io.synthetic import SyntheticSpec, generate_bgr_frames
+class FrameSource:
+    """Re-iterable, bounded-memory BGR frame source (file or synthetic).
 
-        try:
-            w, h, f = (int(v) for v in args.synthetic.lower().split("x"))
-        except ValueError:
-            print(
-                f"Invalid --synthetic {args.synthetic!r}: expected WxHxF, "
-                "e.g. 1280x720x300",
-                file=sys.stderr,
+    The reference streams frames one at a time through its tracking loop
+    (tracker_ghc/src/main.cpp:362); loading a whole clip into host RAM
+    breaks on exactly the long/4K inputs the tracker targets, so every
+    pass here re-decodes from the start offset instead."""
+
+    def __init__(self, args):
+        self.spec = None
+        self.path = args.video
+        if args.synthetic:
+            from pvot.io.synthetic import SyntheticSpec
+
+            try:
+                w, h, f = (int(v) for v in args.synthetic.lower().split("x"))
+            except ValueError:
+                print(
+                    f"Invalid --synthetic {args.synthetic!r}: expected WxHxF, "
+                    "e.g. 1280x720x300",
+                    file=sys.stderr,
+                )
+                raise SystemExit(2)
+            self.spec = SyntheticSpec(width=w, height=h, num_frames=f)
+            self.fps = 30.0
+            self.shape = (h, w)  # (H, W)
+        else:
+            from pvot.io.video import VideoReader
+
+            try:
+                with VideoReader(self.path) as r:
+                    self.fps = r.fps
+                    w, h = r.size
+            except IOError:
+                print(f"Cannot open video: {self.path}", file=sys.stderr)
+                raise SystemExit(-1)
+            self.shape = (h, w)
+
+    def frames(self, start: int = 0, limit: Optional[int] = None):
+        """Yield uint8 BGR frames [start, start+limit)."""
+        if self.spec is not None:
+            import itertools
+
+            from pvot.io.synthetic import generate_bgr_frames
+
+            stop = None if limit is None else start + limit
+            yield from itertools.islice(
+                generate_bgr_frames(self.spec), start, stop
             )
-            raise SystemExit(2)
-        spec = SyntheticSpec(width=w, height=h, num_frames=f)
-        return np.stack(list(generate_bgr_frames(spec))), 30.0
-    from pvot.io.video import VideoReader
+            return
+        from pvot.io.video import VideoReader
 
-    with VideoReader(args.video) as r:
-        fps = r.fps
-        frames = list(r)
-    if not frames:
-        print(f"Cannot open video: {args.video}", file=sys.stderr)
-        raise SystemExit(-1)
-    return np.stack(frames), fps
+        with VideoReader(self.path) as r:
+            for _ in range(start):  # skip without keeping frames
+                if r.read() is None:
+                    return
+            n = 0
+            while limit is None or n < limit:
+                frame = r.read()
+                if frame is None:
+                    return
+                yield frame
+                n += 1
+
+    def nth_frame(self, idx: int, clamp: bool = False) -> Optional[np.ndarray]:
+        """Decode frame `idx`; with clamp=True, the last frame when the clip
+        is shorter (matches the old array path's start-frame clamping)."""
+        last = None
+        for i, frame in enumerate(self.frames(0, idx + 1)):
+            last = frame
+            if i == idx:
+                return frame
+        return last if clamp else None
 
 
-def _select_roi(args, frames_bgr: np.ndarray) -> Tuple[int, Tuple[int, int, int, int]]:
+# Display cap matching the reference demo (tracker_ghc/src/main.cpp:250-259).
+_MAX_DISPLAY_W = 1280
+_MAX_DISPLAY_H = 720
+
+
+def display_downscale(frame_bgr: np.ndarray) -> np.ndarray:
+    """Downscale a frame to fit 1280x720 for display, preserving aspect
+    (reference demo_tracker, tracker_ghc/src/main.cpp:250-259: min(1, min(
+    maxW/cols, maxH/rows)) INTER_AREA resize).  Returns the input unchanged
+    when it already fits."""
+    h, w = frame_bgr.shape[:2]
+    scale = min(1.0, min(_MAX_DISPLAY_W / w, _MAX_DISPLAY_H / h))
+    if scale >= 1.0:
+        return frame_bgr
+    import cv2
+
+    return cv2.resize(
+        frame_bgr, None, fx=scale, fy=scale, interpolation=cv2.INTER_AREA
+    )
+
+
+def _select_roi(args, source: FrameSource):
     """Template selection: --roi (headless) or GUI selectROI like the
-    reference (main.cpp:287-319)."""
-    start = min(args.start_frame, len(frames_bgr) - 1)
+    reference (main.cpp:287-319).  Returns (start, roi, template_frame)."""
+    start = args.start_frame
     if args.first:
         start = 0
     if args.roi:
@@ -172,7 +246,7 @@ def _select_roi(args, frames_bgr: np.ndarray) -> Tuple[int, Tuple[int, int, int,
                 file=sys.stderr,
             )
             raise SystemExit(2)
-        fh, fw = frames_bgr.shape[1:3]
+        fh, fw = source.shape
         if w <= 0 or h <= 0:
             print("No template selected", file=sys.stderr)
             raise SystemExit(-1)
@@ -182,7 +256,11 @@ def _select_roi(args, frames_bgr: np.ndarray) -> Tuple[int, Tuple[int, int, int,
                 file=sys.stderr,
             )
             raise SystemExit(2)
-        return start, (x, y, w, h)
+        template_frame = source.nth_frame(start, clamp=True)
+        if template_frame is None:
+            print(f"Cannot open video: {source.path}", file=sys.stderr)
+            raise SystemExit(-1)
+        return start, (x, y, w, h), template_frame
     if args.no_display or not os.environ.get("DISPLAY"):
         print(
             "DISPLAY not set\n(headless runs need --roi X,Y,W,H)",
@@ -191,7 +269,7 @@ def _select_roi(args, frames_bgr: np.ndarray) -> Tuple[int, Tuple[int, int, int,
         raise SystemExit(-1)
     import cv2
 
-    frame = frames_bgr[start]
+    frame = None
     if not args.first:
         # Frame-preview browser: ENTER selects, ESC quits (main.cpp:295-312).
         print(
@@ -199,12 +277,11 @@ def _select_roi(args, frames_bgr: np.ndarray) -> Tuple[int, Tuple[int, int, int,
             "Press ENTER to select the current frame. Press ESC to quit."
         )
         cv2.namedWindow("Frame Preview", cv2.WINDOW_NORMAL)
-        idx = start
-        while True:
-            if idx >= len(frames_bgr):
-                print("Reached End of Video.", file=sys.stderr)
-                raise SystemExit(-1)
-            frame = frames_bgr[idx]
+        idx = start - 1
+        for frame in source.frames(start):
+            idx += 1
+            # Raw-resolution preview, as the reference shows it (:106); only
+            # the live tracking window downsizes (:250-259).
             cv2.imshow("Frame Preview", frame)
             key = cv2.waitKey(30)
             if key == 27:
@@ -212,15 +289,22 @@ def _select_roi(args, frames_bgr: np.ndarray) -> Tuple[int, Tuple[int, int, int,
                 raise SystemExit(0)
             if key in (13, 10):
                 break
-            idx += 1
+        else:
+            print("Reached End of Video.", file=sys.stderr)
+            raise SystemExit(-1)
         cv2.destroyWindow("Frame Preview")
         start = idx
+    if frame is None:
+        frame = source.nth_frame(start, clamp=True)
+        if frame is None:
+            print(f"Cannot open video: {source.path}", file=sys.stderr)
+            raise SystemExit(-1)
     roi = cv2.selectROI("Select Template", frame, False, False)
     cv2.destroyWindow("Select Template")
     if roi[2] == 0 or roi[3] == 0:
         print("No template selected", file=sys.stderr)
         raise SystemExit(-1)
-    return start, tuple(int(v) for v in roi)
+    return start, tuple(int(v) for v in roi), frame
 
 
 def _draw_bbox(frame_bgr: np.ndarray, bbox, color=(0, 255, 0)) -> None:
@@ -242,12 +326,13 @@ def _draw_fps(frame_bgr: np.ndarray, fps: float) -> None:
 def run_tracking(args) -> int:
     import jax.numpy as jnp
 
-    from pvot.io.gray import bgr_to_gray_u8, gray_u8_to_f32
-    from pvot.tracker.scan import track_video, track_video_batched
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.pipeline import track_stream, track_stream_batched
+    from pvot.runtime import native
     from pvot.tracker.state import init_state
 
     config = _config_from_args(args)
-    frames_bgr, fps = _load_frames(args)
+    source = FrameSource(args)
     if args.resume:
         # Resume a stream: state (bbox/template/counters) comes from the
         # checkpoint; the video supplies the remaining frames.  The
@@ -258,22 +343,18 @@ def run_tracking(args) -> int:
         roi = tuple(int(v) for v in (
             state.bbox_x, state.bbox_y, state.bbox_w, state.bbox_h
         ))
-        start = 0
         # Frame 0 is tracked (not a template source) when resuming.
-        frames_bgr = np.concatenate([frames_bgr[:1], frames_bgr], axis=0)
+        track_from = 0
+        template_frame = source.nth_frame(0)
+        if template_frame is None:
+            print(f"Cannot open video: {source.path}", file=sys.stderr)
+            raise SystemExit(-1)
     else:
-        start, roi = _select_roi(args, frames_bgr)
-        state = None
-    frames_bgr = frames_bgr[start:]
-    if args.max_frames:
-        frames_bgr = frames_bgr[: args.max_frames + 1]
-
-    from pvot.runtime import native
-
-    gray = native.bgr_to_gray_u8(frames_bgr)
-    if state is None:
+        start, roi, template_frame = _select_roi(args, source)
+        track_from = start + 1
         x, y, w, h = roi
-        templ = gray_u8_to_f32(gray[0])[y : y + h, x : x + w]
+        gray0 = native.bgr_to_gray_u8(template_frame)
+        templ = gray_u8_to_f32(gray0)[y : y + h, x : x + w]
         state = init_state(jnp.asarray(templ), roi)
 
     backend = args.mode
@@ -282,51 +363,63 @@ def run_tracking(args) -> int:
         f" (batch size: {args.batch_size})" if args.mode == "batch" else ""
     ))
 
-    writer = None
     output_path = None
     if args.record:
-        from pvot.io.video import VideoWriter
-
         output_path = args.output or generate_output_path(
             args.video if not args.synthetic else "synthetic.mp4",
             mode_label,
             args.batch_size,
         )
-        fh, fw = gray.shape[1:]
-        writer = VideoWriter(output_path, fps, (fw, fh))
         print(f"Output video: {output_path}")
-        first = frames_bgr[0].copy()
-        _draw_bbox(first, roi)
-        writer.write(first)
 
+    # --- Tracking pass: decode overlaps device compute; memory is bounded
+    # by the pipeline ring, never the clip length.
+    limit = args.max_frames if args.max_frames else None
     print("Tracking...")
     t_start = time.perf_counter()
+    frame_iter = source.frames(track_from, limit)
     if args.mode == "batch":
-        final, out = track_video_batched(
-            gray[1:], state, config,
+        final, out = track_stream_batched(
+            frame_iter, state, source.shape, config,
             batch_size=args.batch_size, strategy=args.strategy, backend="xla",
         )
     else:
-        final, out = track_video(
-            gray[1:], state, config,
-            strategy=args.strategy, backend=backend, chunk_size=args.chunk_size,
+        final, out = track_stream(
+            frame_iter, state, source.shape, config=config,
+            strategy=args.strategy, backend=backend,
+            chunk_size=args.chunk_size,
         )
     elapsed = time.perf_counter() - t_start
-    total_frames = len(gray)  # includes the template frame, like main.cpp:356
+    n_tracked = len(out.bbox)
+    total_frames = n_tracked + 1  # + template frame, like main.cpp:356
     avg_fps = total_frames / elapsed if elapsed > 0 else 0.0
 
+    # --- Drawing/encode pass: re-decode and annotate; frames stream through
+    # one at a time (the reference also writes inside its decode loop).
     show = not args.record and not args.no_display and os.environ.get("DISPLAY")
-    if writer or show:
+    t_draw_start = time.perf_counter()
+    if args.record or show:
         import cv2
 
-        for i, bbox in enumerate(np.asarray(out.bbox)):
-            frame = frames_bgr[i + 1]
-            _draw_bbox(frame, bbox)
+        writer = None
+        if args.record:
+            from pvot.io.video import VideoWriter
+
+            fh, fw = source.shape
+            writer = VideoWriter(output_path, source.fps, (fw, fh))
+            first = template_frame.copy()
+            _draw_bbox(first, roi)
+            writer.write(first)
+        bboxes = np.asarray(out.bbox)
+        for i, frame in enumerate(source.frames(track_from, n_tracked)):
+            _draw_bbox(frame, bboxes[i])
             _draw_fps(frame, avg_fps)
             if writer:
                 writer.write(frame)
             if show:
-                cv2.imshow("Tracking", frame)
+                # Live window capped at 1280x720 like the reference demo
+                # (tracker_ghc/src/main.cpp:250-259).
+                cv2.imshow("Tracking", display_downscale(frame))
                 if cv2.waitKey(1) == 27:
                     break
         if writer:
@@ -335,8 +428,8 @@ def run_tracking(args) -> int:
     if args.checkpoint_out:
         from pvot.utils.checkpoint import save_state
 
-        save_state(args.checkpoint_out, final)
-        print(f"Checkpoint saved: {args.checkpoint_out}")
+        saved_path = save_state(args.checkpoint_out, final)
+        print(f"Checkpoint saved: {saved_path}")
 
     kind = "Recorded" if args.record else "Interactive"
     # Summary format matches the reference (main.cpp:485-488).
@@ -344,6 +437,21 @@ def run_tracking(args) -> int:
         f"{kind} tracking summary: frames={total_frames}, "
         f"time={elapsed:.6g} s, FPS={avg_fps:.6g}"
     )
+    if args.stage_timing:
+        # Windows-tree summary block (tracker/src/main.cpp:175-182): total
+        # wall time vs the compute-only accumulator t_tot.  Here "computation"
+        # is the tracking pass (device NCC + state scan, with decode
+        # overlapped); drawing/encode is the extra cost on top.
+        t_total = time.perf_counter() - t_start
+        del t_draw_start
+        print("\n--------")
+        print(" Tracking Complete")
+        print(f" Mode       : {mode_label}")
+        print(f" Frames     : {total_frames}")
+        print(f" Time (sec) : {t_total:.6g}")
+        print(f" Computation Time (sec)  : {elapsed:.6g}")
+        print(f" FPS        : {total_frames / t_total if t_total > 0 else 0.0:.6g}")
+        print("--------")
     return 0
 
 

@@ -39,6 +39,7 @@ class FramePipeline:
         self._shape = tuple(frame_shape)
         self.chunk_size = chunk_size
         self._done = threading.Event()
+        self._stop = threading.Event()
         self._error: Optional[BaseException] = None
         self._use_native = use_native
         from pvot.runtime import native
@@ -63,9 +64,11 @@ class FramePipeline:
     def _push(self, frame: np.ndarray) -> None:
         if self._ring is not None:
             while not self._ring.push(frame):
+                if self._stop.is_set():
+                    return
                 time.sleep(0.0005)
         else:
-            while True:
+            while not self._stop.is_set():
                 with self._qlock:
                     if len(self._queue) < self._capacity:
                         self._queue.append(frame)
@@ -75,6 +78,8 @@ class FramePipeline:
     def _worker(self) -> None:
         try:
             for frame in self._iter:
+                if self._stop.is_set():
+                    return
                 if frame.ndim == 3:
                     frame = self._convert(frame)
                 if frame.shape != self._shape:
@@ -129,6 +134,14 @@ class FramePipeline:
             return not self._queue
 
     def close(self) -> None:
+        """Stop the producer, join it, THEN free the native ring.
+
+        Destroying the ring while the decode thread is still blocked inside
+        _push would hand a freed C struct to pvot_ring_push (use-after-free);
+        the stop event breaks that spin first and the join guarantees no
+        native call is in flight when the ring is destroyed."""
+        self._stop.set()
+        self._thread.join(timeout=30)
         if self._ring is not None:
             self._ring.close()
             self._ring = None
@@ -170,4 +183,99 @@ def track_stream(
             outs.append(jax.tree.map(lambda a: a[:n_real], out))
     finally:
         pipe.close()
+    return state, _stack_outputs(outs)
+
+
+def track_stream_batched(
+    frame_iter: Iterable[np.ndarray],
+    state,
+    frame_shape: Tuple[int, int],
+    config=None,
+    batch_size: Optional[int] = None,
+    strategy: str = "fused",
+    backend: str = "xla",
+    chunks_per_dispatch: int = 8,
+):
+    """Reference-parity batch mode (--batch=N) over a frame stream.
+
+    Same semantics as pvot.tracker.scan.track_video_batched (C10: one state
+    update per batch against the batch's LAST frame; leftover frames that
+    never fill a batch re-emit the previous bbox with no update,
+    tracker_ghc/src/main.cpp:385-397) but frames are decoded/converted by the
+    pipeline concurrently with device tracking — memory stays bounded by the
+    ring capacity, never the clip length.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pvot.config import TrackerConfig
+    from pvot.ops.backends import get_backend
+    from pvot.tracker.scan import _stack_outputs, make_batch_step
+    from pvot.tracker.state import StepOutput
+    from pvot.tracker.step import make_step
+
+    config = config or TrackerConfig()
+    n = batch_size or config.batch_size
+    h, w = frame_shape
+    th, tw = state.template.shape
+    full_fn, region_fn = get_backend(backend, (h, w), (th, tw), config)
+    step = make_step(
+        (h, w), (th, tw), config,
+        ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
+    )
+    batch_step = make_batch_step(step, n)
+    group = max(1, chunks_per_dispatch)
+
+    def masked_batch_step(state, xs):
+        batch, valid = xs
+        new_state, out = batch_step(state, batch)
+        keep = lambda new, old: jnp.where(valid, new, old)
+        return jax.tree.map(keep, new_state, state), out
+
+    def scan_batches(state, batches, valid):  # batches (group, n, H, W)
+        return lax.scan(masked_batch_step, state, (batches, valid))
+
+    scan_fn = jax.jit(scan_batches)
+
+    # One pipeline chunk = one dispatch group of `group` batches; only the
+    # final chunk can be partial (mid-stream chunks are always full).
+    pipe = FramePipeline(frame_iter, frame_shape, chunk_size=n * group)
+    outs = []
+    leftover = 0
+    try:
+        for chunk, n_real in pipe.chunks():
+            k_full = n_real // n
+            leftover = n_real - k_full * n
+            batches = chunk.reshape(group, n, h, w)
+            valid = np.arange(group) < k_full
+            state, out = scan_fn(
+                state, jax.device_put(batches), jax.device_put(valid)
+            )
+            if k_full:
+                outs.append(
+                    StepOutput(
+                        bbox=out.bbox[:k_full].reshape(-1, 4),
+                        score=out.score[:k_full].reshape(-1),
+                        used_global=out.used_global[:k_full].reshape(-1),
+                        updated=out.updated[:k_full].reshape(-1),
+                    )
+                )
+    finally:
+        pipe.close()
+    if leftover:
+        state_np = jax.device_get(state)
+        pre_bbox = np.array(
+            [state_np.bbox_x, state_np.bbox_y, state_np.bbox_w, state_np.bbox_h],
+            dtype=np.int32,
+        )
+        tail = StepOutput(
+            bbox=np.tile(pre_bbox[None, :], (leftover, 1)),
+            score=np.full((leftover,), -1.0, np.float32),
+            used_global=np.zeros((leftover,), bool),
+            updated=np.zeros((leftover,), bool),
+        )
+        if outs and not isinstance(outs[0].score, np.ndarray):
+            tail = jax.tree.map(jnp.asarray, tail)
+        outs.append(tail)
     return state, _stack_outputs(outs)

@@ -71,3 +71,43 @@ def test_track_stream_matches_array_driver(small_video, small_spec):
         iter(small_video[1:]), s2, small_video.shape[1:], chunk_size=8
     )
     np.testing.assert_array_equal(np.asarray(got.bbox), np.asarray(want.bbox))
+
+
+def test_close_while_producer_blocked(rng):
+    """Closing mid-stream (e.g. the consumer aborted) must stop + join the
+    producer BEFORE destroying the native ring — otherwise a blocked _push
+    hands a freed C struct to pvot_ring_push (use-after-free)."""
+    frames = rng.integers(0, 256, size=(64, 16, 16), dtype=np.uint8)
+    # Tiny capacity: the producer fills the ring and blocks in _push.
+    pipe = FramePipeline(iter(frames), (16, 16), chunk_size=4, capacity=2)
+    import time
+
+    time.sleep(0.05)  # let the producer hit the full ring
+    pipe.close()  # must not crash; joins the producer first
+    assert not pipe._thread.is_alive()
+
+
+def test_close_while_producer_blocked_python_ring(rng):
+    frames = rng.integers(0, 256, size=(64, 16, 16), dtype=np.uint8)
+    pipe = FramePipeline(
+        iter(frames), (16, 16), chunk_size=4, capacity=2, use_native=False
+    )
+    import time
+
+    time.sleep(0.05)
+    pipe.close()
+    assert not pipe._thread.is_alive()
+
+
+def test_frame_ring_guards_after_close():
+    from pvot.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    ring = native.FrameRing(4, (8, 8))
+    ring.close()
+    assert len(ring) == 0
+    with pytest.raises(RuntimeError):
+        ring.push(np.zeros((8, 8), np.uint8))
+    with pytest.raises(RuntimeError):
+        ring.pop(1)
