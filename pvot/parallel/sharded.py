@@ -277,3 +277,92 @@ def shard_states(mesh: Mesh, states: TrackerState, spec: P) -> TrackerState:
     return jax.tree.map(
         lambda a: jax.device_put(a, NamedSharding(mesh, spec)), states
     )
+
+
+def make_sharded_scan_fn(sharded_step):
+    """jit(scan(masked sharded_step)) over a frame chunk.
+
+    (S-states, frames (C, S, H, W), valid (C,)) -> (S-states, outs (C, S)).
+    Invalid (padding) frames leave the state untouched, so every chunk
+    shares one compiled program (the pvot.tracker.scan masked-scan contract,
+    here applied across a mesh: the scan carry is the sharded state pytree
+    and each scan step runs the shard_map'd collective step)."""
+    import jax.numpy as jnp
+
+    def masked_step(states: TrackerState, xs):
+        frames, valid = xs
+        new_states, out = sharded_step(states, frames)
+        keep = lambda new, old: jnp.where(valid, new, old)
+        return jax.tree.map(keep, new_states, states), out
+
+    def scan_chunk(states: TrackerState, frames, valid):
+        return lax.scan(masked_step, states, (frames, valid))
+
+    return jax.jit(scan_chunk)
+
+
+def track_video_sharded(
+    videos: np.ndarray,
+    states: TrackerState,
+    mesh: Mesh,
+    config: TrackerConfig = TrackerConfig(),
+    chunk_size: int = 16,
+    data_axis: str = "data",
+    search_axis: str = "search",
+):
+    """Scan S video streams across a device mesh: the multi-chip analog of
+    pvot.tracker.scan.track_video.
+
+    videos: (S, F, H, W) uint8/f32 — S lockstep streams of F frames each.
+    states: TrackerState with leading stream axis S (sharded over
+    `data_axis`, or unsharded — it is placed onto the mesh here).
+
+    Each chunk of `chunk_size` frames is ONE device dispatch: a lax.scan
+    whose carry is the sharded state and whose body runs the
+    (data x search)-sharded collective step (make_search_sharded_step).
+    Streams ride `data_axis`; each NCC search splits row-wise over
+    `search_axis` and recombines with an all_gather, so trajectories are
+    EXACTLY those of the unsharded per-stream tracker (asserted in
+    tests/test_parallel.py).
+
+    Returns (final states, StepOutput with (F, S) leading axes).
+    """
+    videos = np.asarray(videos)
+    if videos.ndim != 4:
+        raise ValueError(f"expected (S, F, H, W) videos, got {videos.shape}")
+    s, f, h, w = videos.shape
+    th, tw = states.template.shape[-2:]
+    states = shard_states(mesh, states, P(data_axis))
+    step = make_search_sharded_step(
+        mesh, (h, w), (th, tw), config, data_axis, search_axis
+    )
+    scan_fn = make_sharded_scan_fn(step)
+    frame_sharding = NamedSharding(mesh, P(None, data_axis, None, None))
+
+    outs = []
+    for start in range(0, f, chunk_size):
+        chunk = videos[:, start : start + chunk_size]  # (S, C', H, W)
+        n_real = chunk.shape[1]
+        if n_real < chunk_size:  # pad the tail; padding is masked out
+            pad = np.repeat(chunk[:, -1:], chunk_size - n_real, axis=1)
+            chunk = np.concatenate([chunk, pad], axis=1)
+        frames = np.ascontiguousarray(chunk.transpose(1, 0, 2, 3))
+        valid = np.arange(chunk_size) < n_real
+        states, out = scan_fn(
+            states,
+            jax.device_put(frames, frame_sharding),
+            jax.device_put(valid),
+        )
+        outs.append(jax.tree.map(lambda a: a[:n_real], out))
+    if not outs:
+        empty = StepOutput(
+            bbox=np.zeros((0, s, 4), np.int32),
+            score=np.zeros((0, s), np.float32),
+            used_global=np.zeros((0, s), bool),
+            updated=np.zeros((0, s), bool),
+        )
+        return states, empty
+    dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    for leaf in jax.tree.leaves(dev):
+        leaf.copy_to_host_async()
+    return states, jax.tree.map(np.asarray, jax.device_get(dev))

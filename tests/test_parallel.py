@@ -250,3 +250,43 @@ def test_bucketed_global_reacquisition():
     gx, gy, _, _ = target_bbox(spec, 59)
     b = np.asarray(out.bbox)[0]
     assert abs(int(b[0]) - gx) <= 3 and abs(int(b[1]) - gy) <= 3
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_track_video_sharded_matches_unsharded():
+    """The scanned multi-chip driver (chunked masked scan of the
+    (data x search)-sharded step) reproduces per-stream unsharded
+    trajectories EXACTLY, across chunk boundaries and the masked tail."""
+    from pvot.parallel.sharded import track_video_sharded
+
+    spec_a, video_a, roi_a, templ_a = _setup(9)
+    spec_b, video_b, roi_b, templ_b = _setup(11)
+    h, w = video_a.shape[1:]
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "search"))
+
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        init_state(jnp.asarray(templ_a), roi_a),
+        init_state(jnp.asarray(templ_b), roi_b),
+    )
+    videos = np.stack([video_a[1:], video_b[1:]])  # (S=2, F=15, H, W)
+    # chunk 6 -> chunks of 6, 6, 3 (masked tail)
+    final, out = track_video_sharded(videos, states, mesh, CFG, chunk_size=6)
+    assert out.bbox.shape == (15, 2, 4)
+
+    for s, (t, r, v) in enumerate(
+        [(templ_a, roi_a, video_a), (templ_b, roi_b, video_b)]
+    ):
+        st = init_state(jnp.asarray(t), r)
+        _, single = track_video(v[1:], st, CFG, chunk_size=8)
+        np.testing.assert_array_equal(
+            np.asarray(out.bbox)[:, s, :], np.asarray(single.bbox)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.updated)[:, s], np.asarray(single.updated)
+        )
+    # Final carried state survives the chunk boundaries identically.
+    np.testing.assert_array_equal(
+        np.asarray(final.bbox_x), np.asarray(out.bbox)[-1, :, 0]
+    )
