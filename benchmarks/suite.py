@@ -5,9 +5,13 @@
   3. batch mode N in {4, 8, 16, 32} (look-ahead dispatch, parity semantics)
   4. 1080p and 4K with a 160 px search radius (HBM/tiling stress)
   5. multi-object: 8 templates per frame via vmap
+  6. multi-stream: 8 independent 720p streams in lockstep (serving)
+  7. stream saturation sweep S in {8, 16, 32, 64} with MFU accounting
+  8. streams x batch combined (32 streams, batch 4, C10 parity semantics)
 
 Run:  python benchmarks/suite.py [--configs 1,2,3] [--frames N]
 Prints one JSON line per config and writes benchmarks/results.json.
+Regenerate the docs table from results.json with benchmarks/report.py.
 
 Timing protocol per bench.py: stage + compile (async), flip the relay to
 synchronous mode, then time dispatch + one packed fetch; best of two.
@@ -26,6 +30,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_FPS = 12.15  # README.md:101-117 example session, --shared mode
+
+# TPU v5e peaks for MFU accounting.  The MXU's native multiply is bf16 with
+# f32 accumulation; a precision=HIGHEST f32 matmul (what the parity path
+# uses) decomposes into 6 bf16 passes, so its effective peak is ~1/6.
+V5E_BF16_PEAK = 394e12
+V5E_F32_HIGHEST_PEAK = V5E_BF16_PEAK / 6
+
+
+def fused_region_flops(templ: int, radius: int) -> float:
+    """FLOPs per frame per stream of the fused local-search path.
+
+    Dominated by the im2col-x matmul over the (span + t - 1)^2 region; the
+    shifted adds, two integral images, and the normalization are noise.
+    """
+    span = 2 * radius + 1
+    rows = span + templ - 1
+    mm = 2.0 * rows * span * templ * templ  # dot_general MACs
+    adds = float(templ) * span * span  # shifted-add reduction
+    integrals = 2.0 * 2.0 * rows * (span + templ - 1)  # 2 cumsums x 2 images
+    norm = 10.0 * span * span
+    return mm + adds + integrals + norm
 
 
 def _stage_flip_time(run_enqueue, run_fetch, trials: int = 2):
@@ -223,8 +248,13 @@ def bench_multi_object(num_objects=8, width=1280, height=720, templ=80,
 
 
 def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
-                       num_frames=256, chunk_size=64):
-    """Serving throughput: S independent 720p streams in lockstep on one chip."""
+                       num_frames=256, chunk_size=64, frames_per_step=1):
+    """Serving throughput: S independent 720p streams in lockstep on one chip.
+
+    frames_per_step > 1 measures batch-N parity semantics combined with
+    streams (C10: one NCC + state update per N frames per stream; the
+    reference discards the other N-1 maps, so they cost nothing) — each
+    scanned element then represents N stream frames."""
     import jax
     import jax.numpy as jnp
 
@@ -276,16 +306,37 @@ def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
         return dev
 
     host, elapsed = _stage_flip_time(lambda: run(False), lambda: run(True))
-    fps = num_frames / elapsed
+    fps = num_frames * frames_per_step / elapsed
+    name = f"multi_stream_{num_streams}x_720p"
+    if frames_per_step > 1:
+        name = f"multi_stream_{num_streams}x_batch{frames_per_step}_720p"
+    flops = fused_region_flops(templ, 60)  # per scored frame per stream
+    achieved = flops * (num_frames / elapsed) * num_streams
     return {
-        "config": f"multi_stream_{num_streams}x_720p",
+        "config": name,
         "value": round(fps, 2),
         "unit": "frames/s per stream (lockstep)",
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
         "aggregate_fps": round(fps * num_streams, 1),
-        "frames": num_frames,
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_f32_highest_pct": round(100.0 * achieved / V5E_F32_HIGHEST_PEAK, 2),
+        "mfu_bf16_pct": round(100.0 * achieved / V5E_BF16_PEAK, 2),
+        "frames": num_frames * frames_per_step,
         "elapsed_s": round(elapsed, 4),
     }
+
+
+def bench_stream_sweep(sizes=(8, 16, 32, 64)):
+    """Find the chip's serving saturation point: aggregate FPS + MFU as the
+    lockstep stream count grows.  Frame counts shrink with S so staged
+    device buffers stay within HBM (S=64 stages 64 x 720p uint8 per scan
+    element)."""
+    plans = {8: (256, 64), 16: (128, 32), 32: (128, 16), 64: (64, 16)}
+    out = []
+    for s in sizes:
+        frames, chunk = plans.get(s, (64, 8))
+        out.append(bench_multi_stream(s, num_frames=frames, chunk_size=chunk))
+    return out
 
 
 CONFIGS = {
@@ -316,12 +367,18 @@ CONFIGS = {
     ],
     "5": lambda frames: bench_multi_object(),
     "6": lambda frames: bench_multi_stream(),
+    # Saturation sweep: aggregate FPS + MFU vs lockstep stream count.
+    "7": lambda frames: bench_stream_sweep(),
+    # Streams x batch combined (C10 parity semantics: one update / N frames).
+    "8": lambda frames: bench_multi_stream(
+        32, num_frames=128, chunk_size=16, frames_per_step=4
+    ),
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8")
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.json"))
     args = ap.parse_args()
