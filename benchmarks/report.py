@@ -33,6 +33,7 @@ _LABELS = {
     "batch_32_720p": "720p batch (`--batch=32`)",
     "1080p_r160": "1080p, radius 160",
     "4k_r160": "4K, radius 160",
+    "pallas_720p_80px": "720p Pallas kernel (`--shared/--const/--const_tiled`)",
 }
 
 
@@ -90,6 +91,11 @@ def render() -> str:
             notes.append(f"{_fmt_fps(rec['object_rate'])} object-updates/s")
         if "aggregate_fps" in rec:
             notes.append(f"**{_fmt_fps(rec['aggregate_fps'])} aggregate FPS**")
+        if "parity_max_abs_err_vs_matmul" in rec:
+            notes.append(
+                f"on-device parity vs matmul engine: "
+                f"{rec['parity_max_abs_err_vs_matmul']:.1e} max abs err"
+            )
         if "mfu_f32_highest_pct" in rec:
             notes.append(
                 f"{rec['achieved_tflops']} TFLOP/s = "

@@ -8,6 +8,7 @@
   6. multi-stream: 8 independent 720p streams in lockstep (serving)
   7. stream saturation sweep S in {8, 16, 32, 64} with MFU accounting
   8. streams x batch combined (32 streams, batch 4, C10 parity semantics)
+  9. Pallas engine (--shared/--const/--const_tiled) + on-device parity
 
 Run:  python benchmarks/suite.py [--configs 1,2,3] [--frames N]
 Prints one JSON line per config and writes benchmarks/results.json.
@@ -326,6 +327,39 @@ def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
     }
 
 
+def bench_pallas():
+    """The hand-written Pallas engine on real hardware: on-device parity vs
+    the matmul engine at headline geometry, then the tracked-FPS bench with
+    backend='pallas' (the reference's --shared/--const/--const_tiled modes
+    all route here when the kernel is supported)."""
+    import jax.numpy as jnp
+
+    from pvot.ops.ncc_matmul import ncc_map_matmul
+    from pvot.ops.ncc_pallas import ncc_map_pallas, pallas_supported
+
+    if not pallas_supported():
+        return {
+            "config": "pallas_720p_80px",
+            "skipped": "pallas unsupported on this backend (probe failed)",
+        }
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((200, 200), np.float32))
+    templ = jnp.asarray(rng.random((80, 80), np.float32))
+    err = float(
+        np.max(np.abs(
+            np.asarray(ncc_map_pallas(img, templ))
+            - np.asarray(ncc_map_matmul(img, templ))
+        ))
+    )
+    rec = bench_tracking(
+        "pallas_720p_80px", width=1280, height=720, backend="pallas",
+        num_frames=512, chunk_size=128,
+    )
+    rec["backend"] = "pallas"
+    rec["parity_max_abs_err_vs_matmul"] = err
+    return rec
+
+
 def bench_stream_sweep(sizes=(8, 16, 32, 64)):
     """Find the chip's serving saturation point: aggregate FPS + MFU as the
     lockstep stream count grows.  Frame counts shrink with S so staged
@@ -373,12 +407,14 @@ CONFIGS = {
     "8": lambda frames: bench_multi_stream(
         32, num_frames=128, chunk_size=16, frames_per_step=4
     ),
+    # Hand-written Pallas engine (--shared/--const/--const_tiled).
+    "9": lambda frames: bench_pallas(),
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9")
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.json"))
     args = ap.parse_args()

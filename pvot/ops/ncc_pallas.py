@@ -45,9 +45,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _dot_f32(a, b):
+    """In-kernel f32 matmul at parity precision.
+
+    precision=HIGHEST (bf16x6 on the MXU) keeps the Pallas engine's scores
+    within f32 rounding of the matmul engine, which uses the same setting;
+    the default single-bf16-pass dot costs ~1e-3 relative error (measured
+    on-chip, tools/pallas_probe.py 'matmul' rung)."""
+    return lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
 def _ncc_kernel(
     img_ref,  # (imgH_pad, imgW_pad) f32, image (strip) in VMEM
-    toep_ref,  # (th * tile_lanes, TX) f32: per-row Toeplitz of t_centered
+    toep_ref,  # (K * tile_lanes, 8 * TX) f32: phase-concatenated Toeplitz
     box_ref,  # (tile_lanes, TX) f32: 0/1 Toeplitz of a ones row (box sums)
     scal_ref,  # (1, 4) f32 in SMEM: [t_mean_unused, t_std_in, sum_tc, n]
     out_ref,  # (TY, TX) f32 tile
@@ -55,35 +70,55 @@ def _ncc_kernel(
     th: int,
     tw: int,
 ):
-    """MXU formulation.  The NCC covariance for the whole tile is ONE matmul:
-    the th overlapping image bands concatenate along lanes into
-    big (TY, th*tile_lanes), and big @ toep computes
-    sum_r band_r @ Toep_r, where Toep_r[j, dx] = t_centered[r, j - dx]
-    (zero outside [0, tw)).  Window sum / sum-of-squares are two small
-    matmuls of the band sums against the ones-row Toeplitz.
+    """Aligned-window MXU formulation.
 
-    Everything is statically unrolled / single matmuls because Mosaic on
-    this toolchain rejects (each verified with a minimal repro): value-level
-    dynamic_slice, lane-unaligned slices, static-shift pltpu.roll, in-kernel
-    integer division, traced rolls under nested fori, cross-grid-step ref
-    accumulation, and jnp.dot inside a fori_loop.
+    Template rows are grouped as r = 8k + p (K = ceil(th/8) aligned
+    8-row groups x 8 phases).  Per group k the kernel loads ONE 16-row
+    window W_k = img[8(i+k) : 8(i+k)+16] — base 8*(i+k) is *provably* a
+    multiple of 8 — and computes all 8 phase correlations in one matmul
+    against the phase-concatenated operator:
+
+        T1_k = W_k @ toep_k            # (16, L) @ (L, 8*TX) -> (16, 8*TX)
+        toep_k[l, p*TX + dx] = t_centered[8k + p, l - dx]   (0 outside [0,tw))
+
+    The contribution of template row 8k+p to output row ty lives at
+    T1_k[ty + p, p*TX + tx], so the combine is 8 STATIC value slices
+    T1_k[p:p+8, p*TX:(p+1)*TX] summed on the VPU.  Window sum / sum of
+    squares reuse the same sliced 16-row windows and two small matmuls
+    against the ones-row Toeplitz.
+
+    Why this exact shape (each alternative verified failing on-chip via
+    tools/pallas_probe.py): per-band loads at base 8i + r die in this
+    environment's Mosaic with "cannot statically prove that index in
+    dimension 0 is a multiple of 8" ('scratch_copy_dot'/'unrolled_dots'
+    rungs); concatenating bands as values dies with "tpu.concatenate:
+    result/input offset mismatch" ('concat_lanes'); precision=HIGH is
+    unsupported, HIGHEST works ('dot_high'/'dot_highest').  Also rejected
+    by this Mosaic (round-1 repros): value-level dynamic_slice,
+    lane-unaligned slices, static-shift pltpu.roll, in-kernel integer
+    division, traced rolls under nested fori, cross-grid-step ref
+    accumulation, jnp.dot inside fori_loop.
     """
-    ty0 = pl.program_id(0) * TY
+    i = pl.program_id(0)
     tx0 = pl.program_id(1) * TX
     tile_lanes = _round_up(TX + tw - 1, 128)
+    k_blocks = -(-th // 8)
 
-    bands = []
-    band_sum = jnp.zeros((TY, tile_lanes), jnp.float32)
-    band_sq = jnp.zeros((TY, tile_lanes), jnp.float32)
-    for r in range(th):  # static unroll; r folds into the pl.ds base
-        band = img_ref[pl.ds(ty0 + r, TY), pl.ds(tx0, tile_lanes)]
-        bands.append(band)
-        band_sum = band_sum + band
-        band_sq = band_sq + band * band
-    big = jnp.concatenate(bands, axis=1)  # (TY, th*tile_lanes)
-    acc_cov = jnp.dot(big, toep_ref[:, :], preferred_element_type=jnp.float32)
-    acc_sum = jnp.dot(band_sum, box_ref[:, :], preferred_element_type=jnp.float32)
-    acc_ssq = jnp.dot(band_sq, box_ref[:, :], preferred_element_type=jnp.float32)
+    acc = jnp.zeros((TY, TX), jnp.float32)
+    bsum = jnp.zeros((TY, tile_lanes), jnp.float32)
+    bsq = jnp.zeros((TY, tile_lanes), jnp.float32)
+    for k in range(k_blocks):  # static unroll
+        w = img_ref[pl.ds(8 * (i + k), 16), pl.ds(tx0, tile_lanes)]
+        wsq = w * w
+        t1 = _dot_f32(w, toep_ref[pl.ds(k * tile_lanes, tile_lanes), :])
+        for p in range(8):
+            if 8 * k + p >= th:  # zero-padded template rows: skip statically
+                break
+            acc = acc + t1[p : p + 8, p * TX : (p + 1) * TX]
+            bsum = bsum + w[p : p + 8, :]
+            bsq = bsq + wsq[p : p + 8, :]
+    acc_sum = _dot_f32(bsum, box_ref[:, :])
+    acc_ssq = _dot_f32(bsq, box_ref[:, :])
 
     t_std_in = scal_ref[0, 1]
     sum_tc = scal_ref[0, 2]
@@ -91,25 +126,32 @@ def _ncc_kernel(
     mean = acc_sum / n
     var = acc_ssq / n - mean * mean
     std = jnp.sqrt(jnp.maximum(var, 1e-6))
-    cov = acc_cov - mean * sum_tc  # centered-template correction
+    cov = acc - mean * sum_tc  # centered-template correction
     out_ref[:, :] = cov / ((std + 1e-6) * (t_std_in + 1e-6) * n)
 
 
 def _toeplitz_operators(t_centered: jax.Array, tile_lanes: int):
-    """Build the per-row correlation operators (outside the kernel, plain
-    XLA; rebuilt only when the template changes).
+    """Build the phase-concatenated correlation operators (outside the
+    kernel, plain XLA; rebuilt only when the template changes).
 
-    toep[r*L + j, dx] = t_centered[r, j - dx] for 0 <= j - dx < tw, else 0;
-    built by right-rolling each zero-padded template row by dx.  box is the
-    same from a ones row (shared by all templates of this geometry).
+    toep[k*L + l, p*TX + dx] = t_centered[8k + p, l - dx] for
+    0 <= l - dx < tw, else 0 — one (L, 8*TX) operator per aligned 8-row
+    template group, stacked along sublanes.  Built by right-rolling each
+    zero-padded template row by dx.  box is the same from a ones row
+    (shared by all templates of this geometry).
     """
     th, tw = t_centered.shape
-    padded = jnp.pad(t_centered, ((0, 0), (0, tile_lanes - tw)))  # (th, L)
+    k_blocks = -(-th // 8)
+    padded = jnp.pad(
+        t_centered, ((0, 8 * k_blocks - th), (0, tile_lanes - tw))
+    )  # (8K, L)
     cols = [
         pltpu_roll_host(padded, dx)[:, :, None] for dx in range(TX)
     ]
-    toep = jnp.concatenate(cols, axis=2)  # (th, L, TX)
-    return toep.reshape(th * tile_lanes, TX)
+    toep = jnp.concatenate(cols, axis=2)  # (8K, L, TX): [r, l, dx]
+    toep = toep.reshape(k_blocks, 8, tile_lanes, TX)
+    toep = toep.transpose(0, 2, 1, 3)  # (K, L, 8, TX)
+    return toep.reshape(k_blocks * tile_lanes, 8 * TX)
 
 
 def pltpu_roll_host(x: jax.Array, shift: int) -> jax.Array:
@@ -138,13 +180,15 @@ def _ncc_pallas_padded(
     tw: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """img_pad already padded so every tile's band read stays in bounds.
+    """img_pad already padded so every tile's window read stays in bounds.
 
-    Padding contract (see ncc_map_pallas): H_pad = gh*TY + th - 1,
-    W_pad = (gw - 1)*TX + tile_lanes.
+    Padding contract (see ncc_map_pallas): H_pad = TY * (gh + ceil(th/8)),
+    W_pad = (gw - 1)*TX + tile_lanes — the last grid row's last aligned
+    window reads rows [8*(gh-1 + K-1), +16).
     """
     tile_lanes = _round_up(TX + tw - 1, 128)
-    gh = (img_pad.shape[0] - (th - 1)) // TY
+    k_blocks = -(-th // 8)
+    gh = img_pad.shape[0] // TY - k_blocks
     gw = (img_pad.shape[1] - tile_lanes) // TX + 1
     box = jnp.asarray(_box_operator(tile_lanes, tw))
     kernel = functools.partial(_ncc_kernel, th=th, tw=tw)
@@ -196,6 +240,8 @@ def ncc_map_pallas(
         [t_mean, t_std, jnp.sum(t_centered), jnp.float32(th * tw)]
     ).reshape(1, 4)
 
+    k_blocks = -(-th // 8)
+
     def one_strip(strip_img):
         sh = strip_img.shape[0]
         s_out_h = sh - th + 1
@@ -203,7 +249,10 @@ def ncc_map_pallas(
         gw = _round_up(out_w, TX) // TX
         img_pad = jnp.pad(
             strip_img,
-            ((0, gh * TY + th - 1 - sh), (0, (gw - 1) * TX + tile_lanes - w)),
+            (
+                (0, TY * (gh + k_blocks) - sh),
+                (0, (gw - 1) * TX + tile_lanes - w),
+            ),
         )
         out = _ncc_pallas_padded(img_pad, toep, scalars, th, tw, interpret)
         return out[:s_out_h, :out_w]
@@ -255,8 +304,14 @@ def pallas_supported(probe_shape=(64, 256), templ_shape=(8, 8)) -> bool:
             from pvot.ops.ncc_matmul import ncc_map_matmul
 
             want = ncc_map_matmul(img, templ)
-            ok = bool(jnp.max(jnp.abs(got - want)) < 1e-3)
-        except Exception:
+            err = float(jnp.max(jnp.abs(got - want)))
+            ok = err < 1e-3
+            if not ok:
+                _SUPPORT_CACHE["last_error"] = f"numerics: max abs err {err}"
+        except Exception as e:  # stash for diagnosis (tools/pallas_probe.py)
+            import traceback
+
+            _SUPPORT_CACHE["last_error"] = traceback.format_exc()
             ok = False
         if not ok:
             import sys
