@@ -192,6 +192,17 @@ def _ncc_pallas_padded(
     gw = (img_pad.shape[1] - tile_lanes) // TX + 1
     box = jnp.asarray(_box_operator(tile_lanes, tw))
     kernel = functools.partial(_ncc_kernel, th=th, tw=tw)
+    # The phase-concatenated operator alone is K*L*8*TX*4 bytes (10.5 MB at
+    # 80x80); with the image strip, per-k intermediates, and the enclosing
+    # program's scoped buffers the default 16 MB scoped-VMEM limit can be
+    # exceeded by a hair (observed on-chip: 16.25 MB for a 121x121 region
+    # search inside a chunk-128 scan).  v5e VMEM is far larger than the
+    # default limit; budget explicitly from the operand sizes.
+    vmem_budget = (
+        4 * (img_pad.size + toep.size + box.size)
+        + 4 * 16 * (8 * TX) * (k_blocks + 2)  # t1 intermediates
+        + 8 * 1024 * 1024  # slack for acc/bsum/bsq + compiler temporaries
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((gh * TY, gw * TX), jnp.float32),
@@ -205,6 +216,7 @@ def _ncc_pallas_padded(
         out_specs=pl.BlockSpec(
             (TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
         interpret=interpret,
     )(img_pad, toep, box, scalars)
 

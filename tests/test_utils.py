@@ -71,3 +71,19 @@ def test_checkpoint_path_normalized(tmp_path):
     for p in (raw, written):  # both spellings load
         loaded = load_state(p)
         assert int(loaded.bbox_x) == 1 and int(loaded.bbox_y) == 2
+
+
+def test_performance_doc_in_sync(tmp_path):
+    """benchmarks/report.py --check: the committed docs table must match
+    what results.json renders (one source of truth, no drift)."""
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "benchmarks", "report.py"),
+         "--check"],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
