@@ -37,7 +37,9 @@ def run_bench(
     width: int = 1280,
     height: int = 720,
     templ: int = 80,
-    chunk_size: int = 256,
+    # chunk 512 measured ~3% over 256 (fewer dispatch boundaries/frame);
+    # see docs/PERFORMANCE.md "Saturation point".
+    chunk_size: int = 512,
     backend: str = "xla",
 ) -> dict:
     import jax

@@ -68,6 +68,37 @@ def cross_correlate(img: jax.Array, templ: jax.Array) -> jax.Array:
     return jnp.sum(jnp.stack(shifted, axis=0), axis=0)
 
 
+def cross_correlate_conv1d(img: jax.Array, templ: jax.Array) -> jax.Array:
+    """Same math as cross_correlate via a 1-D valid conv along width.
+
+    Bit-identical to the im2col formulation on TPU (verified on-chip,
+    tools/conv1d_experiment.py: max abs diff 0.0) — XLA lowers a width-wise
+    1-D conv with template-row filters onto the MXU, unlike the 2-D
+    template-sized conv (which never reaches it).  Skips materializing the
+    (Y, out_w, tw) im2col buffer in HBM; the row-correlation tensor R1 is
+    produced directly.
+    """
+    th, tw = templ.shape
+    y, w = img.shape
+    out_h = y - th + 1
+    out_w = w - tw + 1
+    # (N=y, C=1, W) conv (O=th, I=1, KW=tw) -> (y, th, out_w)
+    r1 = lax.conv_general_dilated(
+        img[:, None, :],
+        templ[:, None, :],
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=lax.Precision.HIGHEST,
+    )
+    # cross[dy, dx] = sum_r R1[dy + r, r, dx]
+    shifted = [
+        lax.slice(r1, (r, r, 0), (r + out_h, r + 1, out_w)).reshape(out_h, out_w)
+        for r in range(th)
+    ]
+    return jnp.sum(jnp.stack(shifted, axis=0), axis=0)
+
+
 def sliding_box_sums(
     img: jax.Array, th: int, tw: int
 ) -> Tuple[jax.Array, jax.Array]:

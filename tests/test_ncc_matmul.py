@@ -117,3 +117,17 @@ def test_opencv_matmul_matches_conv_oracle(rng):
         ncc_map_opencv_matmul(jnp.asarray(frame), jnp.asarray(templ), strip_rows=17)
     )
     np.testing.assert_allclose(s, a, atol=1e-6)
+
+
+def test_conv1d_cross_correlate_matches_im2col(rng):
+    """cross_correlate_conv1d is an alternate lowering of the same math
+    (bit-identical on TPU; here we allow f32 reassociation tolerance)."""
+    import jax.numpy as jnp
+
+    from pvot.ops.ncc_matmul import cross_correlate, cross_correlate_conv1d
+
+    img = jnp.asarray(rng.random((64, 96), dtype=np.float32))
+    templ = jnp.asarray(rng.random((16, 16), dtype=np.float32) - 0.5)
+    a = np.asarray(cross_correlate(img, templ))
+    b = np.asarray(cross_correlate_conv1d(img, templ))
+    np.testing.assert_allclose(a, b, atol=1e-5)
