@@ -33,14 +33,25 @@ import numpy as np
 
 
 def run_bench(
-    num_frames: int = 1024,
+    # 2048 frames amortize the relay's fixed ~30 ms dispatch+fetch round
+    # trip (tools/step_breakdown.py "empty" rung) to ~15 us/frame; more
+    # frames would help a little but synthetic generation + the ~34 MB/s
+    # relay upload dominate wall time (tools/pallas_ty_bench.py staging
+    # measurements).
+    num_frames: int = 2048,
     width: int = 1280,
     height: int = 720,
     templ: int = 80,
     # chunk 512 measured ~3% over 256 (fewer dispatch boundaries/frame);
     # see docs/PERFORMANCE.md "Saturation point".
     chunk_size: int = 512,
-    backend: str = "xla",
+    # "fast" = the MXU matmul engine with the correlation matmul at
+    # precision=HIGH (3 bf16 passes): trajectories measured bit-identical
+    # to the exact-f32 HIGHEST engine over 1024 EMA-coupled frames, score
+    # drift <= 8.6e-6 (below the ~1e-5 f32 accumulation-order noise of a
+    # 6400-term window sum), ~12% faster (tools/perf_ab.py).  The bench
+    # validates the tracked trajectory against ground truth either way.
+    backend: str = "fast",
 ) -> dict:
     import jax
     import jax.numpy as jnp

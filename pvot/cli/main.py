@@ -34,12 +34,15 @@ import numpy as np
 from pvot.config import TrackerConfig
 
 
-# Reference mode-flag spelling (main.cpp:63-75).
+# Reference mode-flag spelling (main.cpp:63-75), plus pvot's serving mode
+# (--fast: correlation matmul at precision=HIGH — trajectory-identical,
+# ~12% faster; see pvot.ops.backends).
 _MODE_FLAGS = {
     "--cpu": "cpu",
     "--shared": "shared",
     "--const": "const",
     "--const_tiled": "const_tiled",
+    "--fast": "fast",
 }
 
 

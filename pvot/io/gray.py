@@ -75,6 +75,22 @@ def device_gray_scale(gray_u8):
     return gray_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
 
 
+def ensure_gray_f32(img):
+    """jnp uint8 gray -> f32/255 (reference utils.hpp:4-13); floats pass
+    through as f32.
+
+    The single conversion point every NCC op funnels through: because
+    uint8->f32*(1/255) is elementwise, it commutes exactly with slicing and
+    zero padding, so hot paths keep frames in uint8 (4x less HBM traffic)
+    and convert only the slices they actually read.
+    """
+    import jax.numpy as jnp
+
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return img.astype(jnp.float32)
+
+
 def device_bgr_to_gray_f32(frame_bgr_u8):
     """jnp uint8 BGR (H, W, 3) -> float32 gray/255 on device.
 

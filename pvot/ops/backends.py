@@ -47,6 +47,14 @@ MODE_TO_BACKEND = {
     "const_tiled": "pallas",
     "pallas": "pallas",
     "batch": "xla",
+    # pvot-native serving mode (no reference equivalent): the correlation
+    # matmul runs at precision=HIGH (3 bf16 passes) instead of HIGHEST (6).
+    # Measured on-chip (tools/perf_ab.py): trajectories bit-identical to the
+    # HIGHEST engine over 1024 EMA-coupled frames, score drift <= 8.6e-6 —
+    # the same order as f32 accumulation-order noise for 6400-term windows
+    # (the oracle tests' own 1e-5 tolerance) — for ~12% higher throughput.
+    "fast": "xla_fast",
+    "xla_fast": "xla_fast",
     # Conv-based oracle (slow on TPU for large kernels; test/debug only).
     "ref_conv": "ref_conv",
 }
@@ -69,6 +77,15 @@ def get_backend(
         from pvot.ops.ncc_matmul import make_full_fn, make_region_fn
 
         return make_full_fn(strip_rows=128), make_region_fn(span_x, span_y)
+    if name == "xla_fast":
+        from jax import lax
+
+        from pvot.ops.ncc_matmul import make_full_fn, make_region_fn
+
+        return (
+            make_full_fn(strip_rows=128),
+            make_region_fn(span_x, span_y, precision=lax.Precision.HIGH),
+        )
     if name == "ref_conv":
         return ncc_map_reference, step_mod.default_region_fn(span_x, span_y)
     if name == "cpu":

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from pvot.io.gray import ensure_gray_f32
 from pvot.ops.ncc_reference import template_stats
 
 
@@ -40,12 +41,18 @@ def _im2col_x(img: jax.Array, tw: int, out_w: int) -> jax.Array:
     return jnp.stack(cols, axis=-1)
 
 
-def cross_correlate(img: jax.Array, templ: jax.Array) -> jax.Array:
+def cross_correlate(
+    img: jax.Array, templ: jax.Array, precision=lax.Precision.HIGHEST
+) -> jax.Array:
     """Valid-mode cross-correlation via im2col-x + MXU matmul.
 
     img (Y, W), templ (th, tw) -> (Y - th + 1, W - tw + 1).
     Equivalent to pvot.ops.ncc_reference.corr2_valid but ~1000x faster on
     TPU for template-sized kernels.
+
+    precision: MXU pass count for the f32 matmul.  HIGHEST (6 bf16 passes,
+    exact f32 emulation) is the parity default; see make_region_fn for the
+    measured error/speed ladder.
     """
     th, tw = templ.shape
     y, w = img.shape
@@ -58,7 +65,7 @@ def cross_correlate(img: jax.Array, templ: jax.Array) -> jax.Array:
         templ,
         dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=precision,
     )  # (Y, out_w, th)
     # cross[dy, dx] = sum_r R1[dy + r, dx, r]
     shifted = [
@@ -130,6 +137,7 @@ def ncc_map_matmul(
     t_mean: jax.Array | None = None,
     t_std: jax.Array | None = None,
     strip_rows: int = 0,
+    precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Full NCC map with reference epsilon semantics, MXU formulation.
 
@@ -140,7 +148,7 @@ def ncc_map_matmul(
     output rows to bound the im2col buffer ((strip+th-1) * outW * tw * 4 B);
     0 materializes one buffer for the whole frame.
     """
-    frame = frame.astype(jnp.float32)
+    frame = ensure_gray_f32(frame)
     templ = templ.astype(jnp.float32)
     if t_mean is None or t_std is None:
         t_mean, t_std = template_stats(templ)
@@ -156,10 +164,10 @@ def ncc_map_matmul(
         for dy0 in range(0, out_h, strip_rows):
             rows = min(strip_rows, out_h - dy0)
             strip = lax.slice(frame, (dy0, 0), (dy0 + rows + th - 1, fw))
-            pieces.append(cross_correlate(strip, t_centered))
+            pieces.append(cross_correlate(strip, t_centered, precision))
         cov = jnp.concatenate(pieces, axis=0)
     else:
-        cov = cross_correlate(frame, t_centered)
+        cov = cross_correlate(frame, t_centered, precision)
 
     sums, ssq = sliding_box_sums(frame, th, tw)
     mean = sums / n
@@ -178,7 +186,7 @@ def ncc_map_opencv_matmul(
     mode) built from cross_correlate + sliding_box_sums so it runs at MXU
     speed on TPU.
     """
-    frame = frame.astype(jnp.float32)
+    frame = ensure_gray_f32(frame)
     templ = templ.astype(jnp.float32)
     th, tw = templ.shape
     n = float(th * tw)
@@ -285,6 +293,7 @@ def ncc_scores_bucketed(
     Scores at positions whose window hangs past the true image content are
     garbage; callers mask them (pvot.ops.search masking covers this).
     """
+    img = ensure_gray_f32(img)
     bh, bw = templ_padded.shape
     mask = (
         (lax.broadcasted_iota(jnp.int32, (bh, bw), 0) < th)
@@ -346,18 +355,23 @@ def make_full_fn(strip_rows: int = 128):
     return full_fn
 
 
-def make_region_fn(span_x: int, span_y: int):
+def make_region_fn(span_x: int, span_y: int, precision=lax.Precision.HIGHEST):
     """Fused local-search region scorer (the hot path).
 
     Slices the (span + templ - 1)^2 neighborhood around the candidate window
     and evaluates NCC only there — the ~50x work reduction the reference
-    leaves on the table (SURVEY.md §3.5)."""
+    leaves on the table (SURVEY.md §3.5).
+
+    precision controls the MXU pass count of the correlation matmul
+    (HIGHEST = 6 bf16 passes = exact f32; HIGH = 3; DEFAULT = 1).  HIGHEST
+    is the default: it is the only setting with score parity to the f32
+    oracle (~1e-7); see tools/perf_ab.py for the measured ladder."""
 
     def region_fn(frame, templ, t_mean, t_std, x0, y0):
         th, tw = templ.shape
         region = lax.dynamic_slice(
             frame, (y0, x0), (span_y + th - 1, span_x + tw - 1)
         )
-        return ncc_map_matmul(region, templ, t_mean, t_std)
+        return ncc_map_matmul(region, templ, t_mean, t_std, precision=precision)
 
     return region_fn

@@ -16,12 +16,12 @@ f32 rounding:
 
     cov = sum_f (f * (t - mu_t)) - mu_f * sum(t - mu_t)
 
-Each grid step owns a (TY, TX)=(8, 128) output tile and walks the template
-rows with a fori_loop; per row, the 1-D correlation against that row is one
-MXU matmul with a precomputed Toeplitz operator, and window sum /
-sum-of-squares collapse into two more matmuls — everything from pixels to
-the final NCC score fuses in one kernel with zero HBM round-trips for
-intermediates.
+Each grid step owns a (ty<=128, TX=128) output tile and walks the template's
+aligned 8-row groups; per group, the correlations of all 8 row phases are
+ONE MXU matmul with a precomputed phase-concatenated Toeplitz operator, and
+window sum / sum-of-squares collapse into two more matmuls — everything
+from pixels to the final NCC score fuses in one kernel with zero HBM
+round-trips for intermediates.
 """
 
 from __future__ import annotations
@@ -65,27 +65,36 @@ def _ncc_kernel(
     toep_ref,  # (K * tile_lanes, 8 * TX) f32: phase-concatenated Toeplitz
     box_ref,  # (tile_lanes, TX) f32: 0/1 Toeplitz of a ones row (box sums)
     scal_ref,  # (1, 4) f32 in SMEM: [t_mean_unused, t_std_in, sum_tc, n]
-    out_ref,  # (TY, TX) f32 tile
+    out_ref,  # (ty, TX) f32 tile
     *,
     th: int,
     tw: int,
+    ty: int,
 ):
     """Aligned-window MXU formulation.
 
     Template rows are grouped as r = 8k + p (K = ceil(th/8) aligned
-    8-row groups x 8 phases).  Per group k the kernel loads ONE 16-row
-    window W_k = img[8(i+k) : 8(i+k)+16] — base 8*(i+k) is *provably* a
-    multiple of 8 — and computes all 8 phase correlations in one matmul
-    against the phase-concatenated operator:
+    8-row groups x 8 phases).  Per group k the kernel loads ONE
+    (ty+8)-row window W_k = img[ty*i + 8k : ty*i + 8k + ty + 8] — base
+    ty*i + 8k is *provably* a multiple of 8 (ty is) — and computes all 8
+    phase correlations in one matmul against the phase-concatenated
+    operator:
 
-        T1_k = W_k @ toep_k            # (16, L) @ (L, 8*TX) -> (16, 8*TX)
+        T1_k = W_k @ toep_k         # (ty+8, L) @ (L, 8*TX) -> (ty+8, 8*TX)
         toep_k[l, p*TX + dx] = t_centered[8k + p, l - dx]   (0 outside [0,tw))
 
-    The contribution of template row 8k+p to output row ty lives at
-    T1_k[ty + p, p*TX + tx], so the combine is 8 STATIC value slices
-    T1_k[p:p+8, p*TX:(p+1)*TX] summed on the VPU.  Window sum / sum of
-    squares reuse the same sliced 16-row windows and two small matmuls
-    against the ones-row Toeplitz.
+    The contribution of template row 8k+p to output row oy lives at
+    T1_k[oy + p, p*TX + tx], so the combine is 8 STATIC value slices
+    T1_k[p:p+ty, p*TX:(p+1)*TX] summed on the VPU.  Window sum / sum of
+    squares reuse the same sliced windows and two small matmuls against
+    the ones-row Toeplitz.
+
+    ty (the output-tile height) is the MXU-utilization knob: the matmul
+    LHS has ty+8 rows, so ty=8 (the original tile) runs 16-row matmuls
+    at ~12% MXU row occupancy while ty=128 runs 136-row matmuls at full
+    occupancy AND halves the total FLOPs (fewer overlapping window
+    loads).  Measured on-chip: 27x end-to-end tracking speedup
+    (tools/pallas_ty_bench.py; 190 -> 5k+ FPS).
 
     Why this exact shape (each alternative verified failing on-chip via
     tools/pallas_probe.py): per-band loads at base 8i + r die in this
@@ -104,19 +113,19 @@ def _ncc_kernel(
     tile_lanes = _round_up(TX + tw - 1, 128)
     k_blocks = -(-th // 8)
 
-    acc = jnp.zeros((TY, TX), jnp.float32)
-    bsum = jnp.zeros((TY, tile_lanes), jnp.float32)
-    bsq = jnp.zeros((TY, tile_lanes), jnp.float32)
+    acc = jnp.zeros((ty, TX), jnp.float32)
+    bsum = jnp.zeros((ty, tile_lanes), jnp.float32)
+    bsq = jnp.zeros((ty, tile_lanes), jnp.float32)
     for k in range(k_blocks):  # static unroll
-        w = img_ref[pl.ds(8 * (i + k), 16), pl.ds(tx0, tile_lanes)]
+        w = img_ref[pl.ds(ty * i + 8 * k, ty + 8), pl.ds(tx0, tile_lanes)]
         wsq = w * w
         t1 = _dot_f32(w, toep_ref[pl.ds(k * tile_lanes, tile_lanes), :])
         for p in range(8):
             if 8 * k + p >= th:  # zero-padded template rows: skip statically
                 break
-            acc = acc + t1[p : p + 8, p * TX : (p + 1) * TX]
-            bsum = bsum + w[p : p + 8, :]
-            bsq = bsq + wsq[p : p + 8, :]
+            acc = acc + t1[p : p + ty, p * TX : (p + 1) * TX]
+            bsum = bsum + w[p : p + ty, :]
+            bsq = bsq + wsq[p : p + ty, :]
     acc_sum = _dot_f32(bsum, box_ref[:, :])
     acc_ssq = _dot_f32(bsq, box_ref[:, :])
 
@@ -132,31 +141,44 @@ def _ncc_kernel(
 
 def _toeplitz_operators(t_centered: jax.Array, tile_lanes: int):
     """Build the phase-concatenated correlation operators (outside the
-    kernel, plain XLA; rebuilt only when the template changes).
+    kernel, plain XLA; rebuilt whenever the template changes — i.e. on
+    every EMA-update frame, so construction cost is on the hot path).
 
     toep[k*L + l, p*TX + dx] = t_centered[8k + p, l - dx] for
     0 <= l - dx < tw, else 0 — one (L, 8*TX) operator per aligned 8-row
-    template group, stacked along sublanes.  Built by right-rolling each
-    zero-padded template row by dx.  box is the same from a ones row
-    (shared by all templates of this geometry).
+    template group, stacked along sublanes.
+
+    Construction is the Hankel tile-reshape trick (~5 fused XLA ops)
+    instead of TX=128 separate jnp.rolls (~130 kernel launches measured
+    as the dominant per-frame cost of the old build):
+
+        Q[r]    = [padded[r, L-TX+1:], padded[r]]      (len TX-1+L)
+        win[r, k, l] = Q[r, k + l]   via pad -> tile(TX+1) -> reshape rows
+                       of length N+1 (row k starts at k*(N+1) === k mod N)
+        toep[r, l, dx] = padded[r, (l-dx) mod L] = win[r, TX-1-dx, l]
+
+    The mod-L wraparound is exact because columns >= tw of `padded` are
+    zero and L - TX >= tw (asserted below).  box is the same operator from
+    a ones row (shared by all templates of this geometry).
     """
     th, tw = t_centered.shape
     k_blocks = -(-th // 8)
+    L = tile_lanes
+    if L - TX < tw:
+        raise ValueError(f"tile_lanes {L} too small for template width {tw}")
     padded = jnp.pad(
-        t_centered, ((0, 8 * k_blocks - th), (0, tile_lanes - tw))
+        t_centered, ((0, 8 * k_blocks - th), (0, L - tw))
     )  # (8K, L)
-    cols = [
-        pltpu_roll_host(padded, dx)[:, :, None] for dx in range(TX)
-    ]
-    toep = jnp.concatenate(cols, axis=2)  # (8K, L, TX): [r, l, dx]
+    r = padded.shape[0]
+    q = jnp.concatenate([padded[:, L - TX + 1 :], padded], axis=1)
+    n = q.shape[1] + TX  # = L + 2*TX - 1, with TX zeros of slack
+    p_arr = jnp.pad(q, ((0, 0), (0, TX)))  # (8K, N)
+    tiled = jnp.tile(p_arr, (1, TX + 1))[:, : TX * (n + 1)]
+    win = tiled.reshape(r, TX, n + 1)[:, :, :L]  # win[r, k, l] = Q[r, k+l]
+    toep = win[:, ::-1, :].transpose(0, 2, 1)  # (8K, L, TX): [r, l, dx]
     toep = toep.reshape(k_blocks, 8, tile_lanes, TX)
     toep = toep.transpose(0, 2, 1, 3)  # (K, L, 8, TX)
     return toep.reshape(k_blocks * tile_lanes, 8 * TX)
-
-
-def pltpu_roll_host(x: jax.Array, shift: int) -> jax.Array:
-    """jnp.roll along the last axis (host-side operator construction)."""
-    return jnp.roll(x, shift, axis=1)
 
 
 @functools.lru_cache(maxsize=8)
@@ -171,27 +193,28 @@ def _box_operator(tile_lanes: int, tw: int):
     return box
 
 
-@functools.partial(jax.jit, static_argnames=("th", "tw", "interpret"))
+@functools.partial(jax.jit, static_argnames=("th", "tw", "ty", "interpret"))
 def _ncc_pallas_padded(
     img_pad: jax.Array,
     toep: jax.Array,
     scalars: jax.Array,
     th: int,
     tw: int,
+    ty: int = TY,
     interpret: bool = False,
 ) -> jax.Array:
     """img_pad already padded so every tile's window read stays in bounds.
 
-    Padding contract (see ncc_map_pallas): H_pad = TY * (gh + ceil(th/8)),
+    Padding contract (see ncc_map_pallas): H_pad = ty*gh + 8*ceil(th/8),
     W_pad = (gw - 1)*TX + tile_lanes — the last grid row's last aligned
-    window reads rows [8*(gh-1 + K-1), +16).
+    window reads rows [ty*(gh-1) + 8*(K-1), +ty+8).
     """
     tile_lanes = _round_up(TX + tw - 1, 128)
     k_blocks = -(-th // 8)
-    gh = img_pad.shape[0] // TY - k_blocks
+    gh = (img_pad.shape[0] - 8 * k_blocks) // ty
     gw = (img_pad.shape[1] - tile_lanes) // TX + 1
     box = jnp.asarray(_box_operator(tile_lanes, tw))
-    kernel = functools.partial(_ncc_kernel, th=th, tw=tw)
+    kernel = functools.partial(_ncc_kernel, th=th, tw=tw, ty=ty)
     # The phase-concatenated operator alone is K*L*8*TX*4 bytes (10.5 MB at
     # 80x80); with the image strip, per-k intermediates, and the enclosing
     # program's scoped buffers the default 16 MB scoped-VMEM limit can be
@@ -200,12 +223,12 @@ def _ncc_pallas_padded(
     # default limit; budget explicitly from the operand sizes.
     vmem_budget = (
         4 * (img_pad.size + toep.size + box.size)
-        + 4 * 16 * (8 * TX) * (k_blocks + 2)  # t1 intermediates
+        + 4 * (ty + 8) * (8 * TX) * (k_blocks + 2)  # t1 intermediates
         + 8 * 1024 * 1024  # slack for acc/bsum/bsq + compiler temporaries
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((gh * TY, gw * TX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gh * ty, gw * TX), jnp.float32),
         grid=(gh, gw),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -214,7 +237,7 @@ def _ncc_pallas_padded(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TY, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (ty, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
         interpret=interpret,
@@ -237,7 +260,9 @@ def ncc_map_pallas(
     inside VMEM (the operators cost th * tile_lanes * TX * 4 bytes, ~10.5 MB
     for an 80x80 template).
     """
-    img = img.astype(jnp.float32)
+    from pvot.io.gray import ensure_gray_f32
+
+    img = ensure_gray_f32(img)
     templ = templ.astype(jnp.float32)
     if t_mean is None or t_std is None:
         t_mean, t_std = template_stats(templ)
@@ -257,16 +282,20 @@ def ncc_map_pallas(
     def one_strip(strip_img):
         sh = strip_img.shape[0]
         s_out_h = sh - th + 1
-        gh = _round_up(s_out_h, TY) // TY
+        # Output-tile height: as tall as the strip allows, up to 128 rows
+        # (full MXU sublane occupancy for the in-kernel matmuls; see
+        # _ncc_kernel's ty note).  Always a multiple of 8.
+        ty = min(128, _round_up(s_out_h, 8))
+        gh = _round_up(s_out_h, ty) // ty
         gw = _round_up(out_w, TX) // TX
         img_pad = jnp.pad(
             strip_img,
             (
-                (0, TY * (gh + k_blocks) - sh),
+                (0, ty * gh + 8 * k_blocks - sh),
                 (0, (gw - 1) * TX + tile_lanes - w),
             ),
         )
-        out = _ncc_pallas_padded(img_pad, toep, scalars, th, tw, interpret)
+        out = _ncc_pallas_padded(img_pad, toep, scalars, th, tw, ty, interpret)
         return out[:s_out_h, :out_w]
 
     if strip_rows and out_h > strip_rows:

@@ -107,7 +107,9 @@ def ncc_map_reference(
     t_mean/t_std may be passed to reuse cached template stats (t_std must
     already include the host-side +1e-6, see template_stats).
     """
-    frame = frame.astype(jnp.float32)
+    from pvot.io.gray import ensure_gray_f32
+
+    frame = ensure_gray_f32(frame)
     templ = templ.astype(jnp.float32)
     if t_mean is None or t_std is None:
         t_mean, t_std = template_stats(templ)
@@ -126,7 +128,9 @@ def ncc_map_opencv(frame: jax.Array, templ: jax.Array) -> jax.Array:
         R = Σ T'·I' / sqrt(Σ T'² · Σ I'²),  T' = T - mean(T),
                                             I' = I_win - mean(I_win)
     """
-    frame = frame.astype(jnp.float32)
+    from pvot.io.gray import ensure_gray_f32
+
+    frame = ensure_gray_f32(frame)
     templ = templ.astype(jnp.float32)
     th, tw = templ.shape
     n = jnp.float32(th * tw)

@@ -68,7 +68,7 @@ def make_multi_step(
     from pvot.ops import search as search_ops
     from pvot.ops.backends import get_backend
     from pvot.tracker.state import is_bbox_outside_frame
-    from pvot.tracker.step import _ensure_f32, apply_update
+    from pvot.tracker.step import apply_update
 
     full_fn, region_fn = get_backend(backend, frame_shape, templ_shape, config)
     frame_h, frame_w = frame_shape
@@ -81,7 +81,9 @@ def make_multi_step(
     use_region = strategy == "fused" and out_w >= span_x and out_h >= span_y
 
     def multi_step(states: TrackerState, frame: jax.Array):
-        frame = _ensure_f32(frame)
+        # Frame stays in its wire dtype: every NCC op slices first and
+        # converts through pvot.io.gray.ensure_gray_f32; apply_update
+        # converts its template patch after slicing.
         bbox_outside = is_bbox_outside_frame(
             states.bbox_x, states.bbox_y, states.bbox_w, states.bbox_h,
             frame_w, frame_h,
@@ -265,6 +267,7 @@ def make_multi_step_bucketed(
     """
     from jax import lax
 
+    from pvot.io.gray import ensure_gray_f32
     from pvot.ops import search as search_ops
     from pvot.ops.ncc_matmul import (
         make_bucketed_full_fn,
@@ -272,7 +275,6 @@ def make_multi_step_bucketed(
         template_stats_bucketed,
     )
     from pvot.tracker.state import is_bbox_outside_frame
-    from pvot.tracker.step import _ensure_f32
 
     frame_h, frame_w = frame_shape
     bh, bw = bucket
@@ -290,7 +292,8 @@ def make_multi_step_bucketed(
         )
 
     def multi_step(states: TrackerState, frame: jax.Array):
-        frame = _ensure_f32(frame)
+        # Wire-dtype frame: zero padding commutes with the uint8->f32/255
+        # conversion, which happens per-slice inside the bucketed NCC ops.
         frame_padded = jnp.pad(frame, ((0, bh - 1), (0, bw - 1)))
         th_k = states.bbox_h  # == template extent (reference invariant)
         tw_k = states.bbox_w
@@ -363,7 +366,9 @@ def make_multi_step_bucketed(
             n_out = is_bbox_outside_frame(nbx, nby, tw, th, frame_w, frame_h)
             ug_next = jnp.where(accept & ~n_out, jnp.bool_(False), ug)
             strong = accept & (bv >= jnp.float32(config.strong_confidence))
-            patch = lax.dynamic_slice(frame_padded, (nby, nbx), (bh, bw))
+            patch = ensure_gray_f32(
+                lax.dynamic_slice(frame_padded, (nby, nbx), (bh, bw))
+            )
             mask = (
                 (lax.broadcasted_iota(jnp.int32, (bh, bw), 0) < th)
                 & (lax.broadcasted_iota(jnp.int32, (bh, bw), 1) < tw)

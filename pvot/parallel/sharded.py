@@ -30,6 +30,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pvot.config import TrackerConfig
+from pvot.io.gray import ensure_gray_f32
 from pvot.ops import search as search_ops
 from pvot.ops.ncc_matmul import ncc_map_matmul
 from pvot.ops.ncc_reference import template_stats
@@ -110,8 +111,8 @@ def make_search_sharded_step(
             my = lax.axis_index(search_axis)
 
             def one_stream(state: TrackerState, frame: jax.Array):
-                if frame.dtype == jnp.uint8:
-                    frame = frame.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+                # Frame stays in wire dtype; slab/strip/patch slices convert
+                # after slicing (pvot.io.gray.ensure_gray_f32, bit-exact).
                 bbox_outside = is_bbox_outside_frame(
                     state.bbox_x, state.bbox_y, state.bbox_w, state.bbox_h,
                     frame_w, frame_h,
@@ -189,7 +190,9 @@ def make_search_sharded_step(
                     accept & ~new_out, jnp.bool_(False), use_global
                 )
                 strong = accept & (best_val >= config.strong_confidence)
-                patch = lax.dynamic_slice(frame, (new_by, new_bx), (templ_h, templ_w))
+                patch = ensure_gray_f32(
+                    lax.dynamic_slice(frame, (new_by, new_bx), (templ_h, templ_w))
+                )
                 new_template = jnp.where(
                     strong, (1.0 - lr) * state.template + lr * patch, state.template
                 )

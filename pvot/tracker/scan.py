@@ -46,13 +46,15 @@ def make_scan_fn(step, donate: bool = False):
     return jax.jit(scan_chunk, donate_argnums=(0,) if donate else ())
 
 
-def make_masked_scan_fn(step, donate: bool = False):
+def make_masked_scan_fn(step, donate: bool = False, unroll: int = 1):
     """Like make_scan_fn but each frame carries a validity flag; invalid
     (padding) frames leave the state untouched.  Lets every chunk share ONE
     compiled program regardless of how many real frames the tail chunk has —
     compilation via the remote TPU service is expensive (~100 s for a
     32-frame scan), so one shape must serve all chunks.  donate defaults to
-    False for the same reuse reason as make_scan_fn."""
+    False for the same reuse reason as make_scan_fn.  unroll passes through
+    to lax.scan (measured neutral on TPU, tools/perf_ab.py; exposed for
+    experiments)."""
 
     def masked_step(state: TrackerState, xs):
         frame, valid = xs
@@ -61,7 +63,7 @@ def make_masked_scan_fn(step, donate: bool = False):
         return jax.tree.map(keep, new_state, state), out
 
     def scan_chunk(state: TrackerState, frames: jax.Array, valid: jax.Array):
-        return lax.scan(masked_step, state, (frames, valid))
+        return lax.scan(masked_step, state, (frames, valid), unroll=unroll)
 
     return jax.jit(scan_chunk, donate_argnums=(0,) if donate else ())
 

@@ -58,10 +58,15 @@ def default_region_fn(span_x: int, span_y: int) -> NccRegionFn:
 
 
 def _ensure_f32(frame: jax.Array) -> jax.Array:
-    """Accept uint8 (scaled by 1/255, reference utils.hpp:4-13) or float32."""
-    if frame.dtype == jnp.uint8:
-        return frame.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-    return frame.astype(jnp.float32)
+    """Accept uint8 (scaled by 1/255, reference utils.hpp:4-13) or float32.
+
+    uint8->f32*(1/255) commutes exactly with slicing and zero padding, so
+    hot paths slice FIRST and convert the slice — a 720p frame is 0.9 MB as
+    uint8 but 3.7 MB materialized as f32, and the local search only ever
+    reads a (span+t-1)^2 region of it."""
+    from pvot.io.gray import ensure_gray_f32
+
+    return ensure_gray_f32(frame)
 
 
 def make_step(
@@ -108,7 +113,9 @@ def make_step(
     lost_threshold = int(config.lost_frame_threshold)
 
     def step(state: TrackerState, frame: jax.Array):
-        frame = _ensure_f32(frame)
+        # The frame stays in its wire dtype (uint8 on the fast path) until a
+        # consumer slices its region of interest; only the "full" strategy
+        # and the global-search branch convert the whole frame.
         # --- Mode selection (main.cpp:399-413) ----------------------------
         bbox_outside = is_bbox_outside_frame(
             state.bbox_x, state.bbox_y, state.bbox_w, state.bbox_h, frame_w, frame_h
@@ -132,7 +139,8 @@ def make_step(
 
         # --- NCC + argmax (main.cpp:414-446) ------------------------------
         if strategy == "full":
-            ncc_map = ncc_full_fn(frame, state.template, state.t_mean, state.t_std)
+            frame_f = _ensure_f32(frame)
+            ncc_map = ncc_full_fn(frame_f, state.template, state.t_mean, state.t_std)
             best_val, best_x, best_y = lax.cond(
                 global_argmax,
                 lambda m: search_ops.argmax2d(m),
@@ -142,11 +150,15 @@ def make_step(
         else:
 
             def do_global(frame, st):
-                ncc_map = ncc_full_fn(frame, st.template, st.t_mean, st.t_std)
+                ncc_map = ncc_full_fn(
+                    _ensure_f32(frame), st.template, st.t_mean, st.t_std
+                )
                 return search_ops.argmax2d(ncc_map)
 
             def do_local(frame, st):
                 x0, y0 = search_ops.region_origin(bounds, out_w, out_h, span_x, span_y)
+                # region_fn slices its region out of the raw frame and
+                # converts the slice (see _ensure_f32).
                 scores = ncc_region_fn(frame, st.template, st.t_mean, st.t_std, x0, y0)
                 return search_ops.masked_region_argmax(scores, x0, y0, bounds)
 
@@ -194,7 +206,12 @@ def apply_update(
     use_global_next = jnp.where(accept & ~new_outside, jnp.bool_(False), use_global)
 
     strong = accept & (best_val >= jnp.float32(config.strong_confidence))
-    patch = lax.dynamic_slice(frame, (new_by, new_bx), (templ_h, templ_w))
+    # Slice the patch from the raw frame, THEN convert: avoids materializing
+    # a full f32 frame per step when the wire dtype is uint8 (bit-exact, the
+    # conversion is elementwise).
+    patch = _ensure_f32(
+        lax.dynamic_slice(frame, (new_by, new_bx), (templ_h, templ_w))
+    )
     new_template = jnp.where(
         strong, (1.0 - lr) * state.template + lr * patch, state.template
     )

@@ -134,7 +134,7 @@ def test_backend_registry_covers_reference_modes(rng):
     t_mean, t_std = template_stats(templ)
     want = np.asarray(ncc_map_reference(frame, templ))
     for mode in ("cuda", "naive", "xla", "shared", "const", "const_tiled",
-                 "batch", "ref_conv"):
+                 "batch", "ref_conv", "fast", "xla_fast"):
         assert mode in MODE_TO_BACKEND
         full_fn, region_fn = get_backend(mode, (48, 64), (8, 8), cfg)
         got = np.asarray(full_fn(frame, templ, t_mean, t_std))
@@ -146,3 +146,33 @@ def test_backend_registry_covers_reference_modes(rng):
     # cpu mode normalizes differently (TM_CCOEFF_NORMED) but must run.
     full_fn, region_fn = get_backend("cpu", (48, 64), (8, 8), cfg)
     assert np.asarray(full_fn(frame, templ, t_mean, t_std)).shape == want.shape
+
+
+def test_uint8_wire_dtype_matches_f32(rng):
+    """Every backend accepts uint8 frames (the wire dtype the hot path keeps
+    until slicing) and produces bit-identical scores to pre-converted
+    f32/255 frames: uint8->f32*(1/255) commutes with slicing/padding."""
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import ensure_gray_f32
+    from pvot.ops.backends import MODE_TO_BACKEND, get_backend
+    from pvot.ops.ncc_reference import template_stats
+
+    cfg = TrackerConfig(search_radius_x=6, search_radius_y=6)
+    frame_u8 = jnp.asarray(
+        rng.integers(0, 256, size=(48, 64)).astype(np.uint8)
+    )
+    frame_f32 = ensure_gray_f32(frame_u8)
+    templ = frame_f32[10:18, 20:28]
+    t_mean, t_std = template_stats(templ)
+    for mode in sorted(set(MODE_TO_BACKEND.values())):
+        full_fn, region_fn = get_backend(mode, (48, 64), (8, 8), cfg)
+        a = np.asarray(full_fn(frame_u8, templ, t_mean, t_std))
+        b = np.asarray(full_fn(frame_f32, templ, t_mean, t_std))
+        np.testing.assert_array_equal(a, b, err_msg=mode)
+        ra = np.asarray(
+            region_fn(frame_u8, templ, t_mean, t_std, jnp.int32(5), jnp.int32(7))
+        )
+        rb = np.asarray(
+            region_fn(frame_f32, templ, t_mean, t_std, jnp.int32(5), jnp.int32(7))
+        )
+        np.testing.assert_array_equal(ra, rb, err_msg=mode)
