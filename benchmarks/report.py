@@ -34,6 +34,10 @@ _LABELS = {
     "1080p_r160": "1080p, radius 160",
     "4k_r160": "4K, radius 160",
     "pallas_720p_80px": "720p Pallas kernel (`--shared/--const/--const_tiled`)",
+    "mode_cpu_720p": "mode `--cpu` (TM_CCOEFF_NORMED full map)",
+    "mode_cuda_720p": "mode `--cuda`/naive (MXU matmul engine, HIGHEST)",
+    "mode_fast_720p": "mode `--fast` (matmul engine, precision=HIGH)",
+    "mode_shared_720p": "mode `--shared/--const/--const_tiled` (Pallas)",
 }
 
 

@@ -9,6 +9,8 @@
   7. stream saturation sweep S in {8, 16, 32, 64} with MFU accounting
   8. streams x batch combined (32 streams, batch 4, C10 parity semantics)
   9. Pallas engine (--shared/--const/--const_tiled) + on-device parity
+ 10. mode-flag comparison table (--cpu/--cuda/--fast/--shared, one row
+     each at identical geometry — the reference README.md:128-137 analog)
 
 Run:  python benchmarks/suite.py [--configs 1,2,3] [--frames N]
 Prints one JSON line per config and writes benchmarks/results.json.
@@ -360,6 +362,43 @@ def bench_pallas():
     return rec
 
 
+def bench_mode_comparison(frames=512):
+    """One row per user-facing mode flag, identical geometry — the direct
+    analog of the reference README's five-kernel comparison table
+    (README.md:128-137): --cpu vs --cuda(naive) vs --shared/--const/
+    --const_tiled, plus pvot's --fast serving mode.  All tracked
+    end-to-end on the real chip; trajectory-checked where applicable."""
+    from pvot.ops.ncc_pallas import pallas_supported
+
+    rows = [
+        bench_tracking(
+            "mode_cpu_720p", width=1280, height=720, backend="cpu",
+            strategy="full", num_frames=min(frames, 256), chunk_size=64,
+        ),
+        bench_tracking(
+            "mode_cuda_720p", width=1280, height=720, backend="xla",
+            num_frames=frames, chunk_size=min(frames, 512),
+        ),
+        bench_tracking(
+            "mode_fast_720p", width=1280, height=720, backend="fast",
+            num_frames=frames, chunk_size=min(frames, 512),
+        ),
+    ]
+    if pallas_supported():
+        rows.append(
+            bench_tracking(
+                "mode_shared_720p", width=1280, height=720, backend="pallas",
+                num_frames=frames, chunk_size=min(frames, 512),
+            )
+        )
+    else:
+        rows.append({
+            "config": "mode_shared_720p",
+            "skipped": "pallas unsupported on this backend (probe failed)",
+        })
+    return rows
+
+
 def bench_stream_sweep(sizes=(8, 16, 32, 64)):
     """Find the chip's serving saturation point: aggregate FPS + MFU as the
     lockstep stream count grows.  Frame counts shrink with S so staged
@@ -409,14 +448,26 @@ CONFIGS = {
     ),
     # Hand-written Pallas engine (--shared/--const/--const_tiled).
     "9": lambda frames: bench_pallas(),
+    # Mode-flag comparison table (reference README.md:128-137 analog).
+    "10": lambda frames: bench_mode_comparison(frames),
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9,10")
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.json"))
+    ap.add_argument(
+        "--meta",
+        default=(
+            "TPU v5e (1 chip), sync-mode flip protocol (see bench.py); "
+            "reference baseline = 12.15 FPS end-to-end CUDA --shared example "
+            "session (README.md:101-117). Sweep/MFU fields: fused-region "
+            "FLOP model in benchmarks/suite.py; f32-HIGHEST peak = bf16 "
+            "peak / 6."
+        ),
+    )
     args = ap.parse_args()
     results = []
     for key in args.configs.split(","):
@@ -424,6 +475,8 @@ def main():
         for rec in got if isinstance(got, list) else [got]:
             print(json.dumps(rec), flush=True)
             results.append(rec)
+    if args.meta:
+        results.append({"_meta": args.meta})
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
 

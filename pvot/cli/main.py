@@ -36,13 +36,16 @@ from pvot.config import TrackerConfig
 
 # Reference mode-flag spelling (main.cpp:63-75), plus pvot's serving mode
 # (--fast: correlation matmul at precision=HIGH — trajectory-identical,
-# ~12% faster; see pvot.ops.backends).
+# ~12% faster; see pvot.ops.backends) and --host (accelerator-free: the
+# native C++ NCC engine + host loop, pvot.models.host — trajectory-equal
+# to the device path, runs with no TPU at all).
 _MODE_FLAGS = {
     "--cpu": "cpu",
     "--shared": "shared",
     "--const": "const",
     "--const_tiled": "const_tiled",
     "--fast": "fast",
+    "--host": "host",
 }
 
 
@@ -358,7 +361,22 @@ def run_tracking(args) -> int:
         x, y, w, h = roi
         gray0 = native.bgr_to_gray_u8(template_frame)
         templ = gray_u8_to_f32(gray0)[y : y + h, x : x + w]
-        state = init_state(jnp.asarray(templ), roi)
+        if args.mode == "host":
+            # Device-free init (numpy leaves): --host must work — and stay
+            # fast — with no accelerator and no device round-trips at all.
+            from pvot.runtime.native import template_stats_host
+            from pvot.tracker.state import TrackerState
+
+            t_mean, t_std = template_stats_host(templ)
+            state = TrackerState(
+                bbox_x=np.int32(x), bbox_y=np.int32(y),
+                bbox_w=np.int32(w), bbox_h=np.int32(h),
+                template=np.ascontiguousarray(templ, np.float32),
+                t_mean=np.float32(t_mean), t_std=np.float32(t_std),
+                lost_count=np.int32(0), use_global=np.bool_(False),
+            )
+        else:
+            state = init_state(jnp.asarray(templ), roi)
 
     backend = args.mode
     mode_label = args.mode
@@ -381,7 +399,35 @@ def run_tracking(args) -> int:
     print("Tracking...")
     t_start = time.perf_counter()
     frame_iter = source.frames(track_from, limit)
-    if args.mode == "batch":
+    if args.mode == "host":
+        # Accelerator-free path: native C++ NCC + host loop (bit-matching
+        # trajectories with the device path, tests/test_host.py).
+        from pvot.models.host import track_stream_host
+        from pvot.tracker.state import StepOutput, TrackerState
+
+        host_final, host_out = track_stream_host(
+            frame_iter, np.asarray(state.template),
+            (int(state.bbox_x), int(state.bbox_y),
+             int(state.bbox_w), int(state.bbox_h)),
+            config,
+            lost_count=int(state.lost_count),
+            use_global=bool(state.use_global),
+        )
+        # numpy leaves keep this mode fully device-free (a jnp constant here
+        # would round-trip the TPU relay); TrackerState is dtype-agnostic
+        # for checkpointing.
+        out = StepOutput(**host_out)
+        bx, by, bw, bh = host_final["bbox"]
+        final = TrackerState(
+            bbox_x=np.int32(bx), bbox_y=np.int32(by),
+            bbox_w=np.int32(bw), bbox_h=np.int32(bh),
+            template=host_final["template"],
+            t_mean=np.float32(host_final["t_mean"]),
+            t_std=np.float32(host_final["t_std"]),
+            lost_count=np.int32(host_final["lost_count"]),
+            use_global=np.bool_(host_final["use_global"]),
+        )
+    elif args.mode == "batch":
         final, out = track_stream_batched(
             frame_iter, state, source.shape, config,
             batch_size=args.batch_size, strategy=args.strategy, backend="xla",

@@ -76,6 +76,104 @@ void pvot_gray_u8_to_f32(const uint8_t* gray, float* out, int64_t n) {
 }
 
 // ---------------------------------------------------------------------------
+// Host NCC engine: the native analog of the reference's CPU op
+// (tracker/src/ncc_cpu.cpp + the kernel math in
+// tracker_ghc/src/baseline_kernel.cu:17-46).  Valid-mode NCC map with the
+// reference's exact epsilon structure:
+//
+//   mu_f, var from window sums; sigma_f = sqrt(max(var, 1e-6))
+//   cov = sum f * t_c  -  mu_f * sum(t_c)        (t_c = t - mu_t)
+//   ncc = cov / ((sigma_f + 1e-6) * (t_std_in + 1e-6) * N)
+//
+// t_mean / t_std_in arrive host-computed in double precision (the wrapper's
+// cv::meanStdDev + 1e-6, baseline_kernel.cu:263-266).  Window sum /
+// sum-of-squares use O(1)-per-output integral images (double); the
+// covariance dot is the O(N) inner loop, OpenMP over output rows and
+// auto-vectorized along x.  This makes pvot usable with no accelerator at
+// all (pvot.models.host drives it with the full C5-C8 tracking semantics).
+// ---------------------------------------------------------------------------
+
+void pvot_ncc_match_f32(const float* frame, int64_t fh, int64_t fw,
+                        const float* templ, int64_t th, int64_t tw,
+                        float t_mean, float t_std_in, float* out) {
+  const int64_t oh = fh - th + 1;
+  const int64_t ow = fw - tw + 1;
+  if (oh <= 0 || ow <= 0) return;
+  const double n = static_cast<double>(th * tw);
+
+  // Centered template + its residual sum (nonzero in f32, kept for parity).
+  float* t_c = new float[th * tw];
+  double sum_tc = 0.0;
+  for (int64_t i = 0; i < th * tw; ++i) {
+    t_c[i] = templ[i] - t_mean;
+    sum_tc += t_c[i];
+  }
+
+  // Integral images of frame and frame^2, (fh+1) x (fw+1), double.
+  const int64_t sw = fw + 1;
+  double* sat = new double[(fh + 1) * sw];
+  double* satsq = new double[(fh + 1) * sw];
+  for (int64_t x = 0; x <= fw; ++x) {
+    sat[x] = 0.0;
+    satsq[x] = 0.0;
+  }
+  for (int64_t y = 0; y < fh; ++y) {
+    double row = 0.0, rowsq = 0.0;
+    double* s = sat + (y + 1) * sw;
+    double* ss = satsq + (y + 1) * sw;
+    const double* ps = sat + y * sw;
+    const double* pss = satsq + y * sw;
+    s[0] = 0.0;
+    ss[0] = 0.0;
+    const float* f = frame + y * fw;
+    for (int64_t x = 0; x < fw; ++x) {
+      const double v = f[x];
+      row += v;
+      rowsq += v * v;
+      s[x + 1] = ps[x + 1] + row;
+      ss[x + 1] = pss[x + 1] + rowsq;
+    }
+  }
+
+#pragma omp parallel for schedule(static)
+  for (int64_t oy = 0; oy < oh; ++oy) {
+    const double* s0 = sat + oy * sw;
+    const double* s1 = sat + (oy + th) * sw;
+    const double* q0 = satsq + oy * sw;
+    const double* q1 = satsq + (oy + th) * sw;
+    float* orow = out + oy * ow;
+    for (int64_t ox = 0; ox < ow; ++ox) {
+      const double sum = s1[ox + tw] - s1[ox] - s0[ox + tw] + s0[ox];
+      const double ssq = q1[ox + tw] - q1[ox] - q0[ox + tw] + q0[ox];
+      const double mu = sum / n;
+      double var = ssq / n - mu * mu;
+      if (var < 1e-6) var = 1e-6;
+      const double sigma = __builtin_sqrt(var);
+      double dot = 0.0;
+      for (int64_t r = 0; r < th; ++r) {
+        const float* fr = frame + (oy + r) * fw + ox;
+        const float* tr = t_c + r * tw;
+        double acc = 0.0;
+        for (int64_t c = 0; c < tw; ++c) {
+          acc += static_cast<double>(fr[c]) * tr[c];
+        }
+        dot += acc;
+      }
+      const double cov = dot - mu * sum_tc;
+      // Double-epsilon denominator: t_std_in already holds one host-side
+      // +1e-6 (template_stats), the kernel adds another — the reference's
+      // exact structure (baseline_kernel.cu:44-46).
+      orow[ox] = static_cast<float>(
+          cov / ((sigma + 1e-6) * (static_cast<double>(t_std_in) + 1e-6) * n));
+    }
+  }
+
+  delete[] t_c;
+  delete[] sat;
+  delete[] satsq;
+}
+
+// ---------------------------------------------------------------------------
 // Frame ring buffer: fixed-capacity single-producer/single-consumer queue of
 // equally-sized gray frames.  The decode thread pushes, the device-feed
 // thread pops chunk-sized views — the native analog of the reference's

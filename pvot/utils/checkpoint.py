@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from pvot.tracker.state import TrackerState
 
 _FIELDS = TrackerState._fields
@@ -44,4 +42,6 @@ def load_state(path: str) -> TrackerState:
         version = int(data["__version__"])
         if version != FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint version {version}")
-        return TrackerState(*(jnp.asarray(data[name]) for name in _FIELDS))
+        # numpy leaves: device-free load (jit converts on first use), so the
+        # accelerator-free host mode can resume without touching a device.
+        return TrackerState(*(np.asarray(data[name]) for name in _FIELDS))

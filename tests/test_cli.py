@@ -201,3 +201,36 @@ def test_stream_batched_matches_array_batched(tmp_path, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(out_a.updated), np.asarray(out_b.updated)
     )
+
+
+def test_host_mode_cli_matches_device_mode(tmp_path, monkeypatch, capsys):
+    """--host (accelerator-free native path) runs headless and produces the
+    same trajectory as the device mode on the same synthetic clip."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("DISPLAY", raising=False)
+    rc = main([
+        "--host", "--synthetic", "320x240x12", "--first",
+        "--roi", "144,104,32,32",
+        "--checkpoint-out", str(tmp_path / "host_state"),
+    ])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "Tracking mode: host" in outp
+    assert "Interactive tracking summary: frames=12," in outp
+
+    rc = main([
+        "--synthetic", "320x240x12", "--first", "--roi", "144,104,32,32",
+        "--chunk-size", "4",
+        "--checkpoint-out", str(tmp_path / "dev_state"),
+    ])
+    assert rc == 0
+    from pvot.utils.checkpoint import load_state
+
+    host_final = load_state(str(tmp_path / "host_state.npz"))
+    dev_final = load_state(str(tmp_path / "dev_state.npz"))
+    assert int(host_final.bbox_x) == int(dev_final.bbox_x)
+    assert int(host_final.bbox_y) == int(dev_final.bbox_y)
+    np.testing.assert_allclose(
+        np.asarray(host_final.template), np.asarray(dev_final.template),
+        atol=1e-6,
+    )
