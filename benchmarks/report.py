@@ -88,6 +88,8 @@ def render() -> str:
     lines.append("| Config | FPS | vs reference | Notes |")
     lines.append("|---|---:|---:|---|")
     for rec in results:
+        if "value" not in rec:  # skipped/error records carry no measurement
+            continue
         notes = []
         if "max_l1_err_px" in rec:
             notes.append(f"{rec['max_l1_err_px']} px trajectory error")

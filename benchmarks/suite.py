@@ -192,7 +192,7 @@ def bench_tracking(name, *, width, height, templ=80, num_frames=512,
 
 
 def bench_multi_object(num_objects=8, width=1280, height=720, templ=80,
-                       num_frames=256, chunk_size=64):
+                       num_frames=256, chunk_size=64, backend="fast"):
     import jax
     import jax.numpy as jnp
 
@@ -216,7 +216,10 @@ def bench_multi_object(num_objects=8, width=1280, height=720, templ=80,
     ]
     templates = [g0[ry : ry + h, rx : rx + w] for rx, ry, _, _ in rois]
     states = init_multi_state(templates, rois)
-    multi_step = make_multi_step((height, width), (h, w), config)
+    # Serving configs run the 'fast' engine (precision=HIGH — trajectory-
+    # identical to HIGHEST, ~12% faster; multi-object/serving are pvot
+    # extensions with no reference-parity constraint).
+    multi_step = make_multi_step((height, width), (h, w), config, backend=backend)
     scan_fn = make_masked_scan_fn(multi_step, donate=False)
     staged = [
         jax.device_put(frames[1 + i : 1 + i + chunk_size])
@@ -241,6 +244,7 @@ def bench_multi_object(num_objects=8, width=1280, height=720, templ=80,
     fps = num_frames / elapsed
     return {
         "config": f"multi_object_{num_objects}x_720p",
+        "backend": backend,
         "value": round(fps, 2),
         "unit": "frames/s (all objects per frame)",
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
@@ -251,7 +255,8 @@ def bench_multi_object(num_objects=8, width=1280, height=720, templ=80,
 
 
 def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
-                       num_frames=256, chunk_size=64, frames_per_step=1):
+                       num_frames=256, chunk_size=64, frames_per_step=1,
+                       backend="fast"):
     """Serving throughput: S independent 720p streams in lockstep on one chip.
 
     frames_per_step > 1 measures batch-N parity semantics combined with
@@ -281,7 +286,7 @@ def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
     templ_img = gray_u8_to_f32(base[0])[y : y + h, x : x + w]
     one = init_state(jnp.asarray(templ_img), (x, y, w, h))
     states = jax.tree.map(lambda a: jnp.stack([a] * num_streams), one)
-    step = make_multi_stream_step((height, width), (h, w), config)
+    step = make_multi_stream_step((height, width), (h, w), config, backend=backend)
     scan_fn = make_masked_scan_fn(step, donate=False)
     # Streams share pixel content (synthetic); layout (C, S, H, W).
     staged = [
@@ -317,6 +322,7 @@ def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
     achieved = flops * (num_frames / elapsed) * num_streams
     return {
         "config": name,
+        "backend": backend,
         "value": round(fps, 2),
         "unit": "frames/s per stream (lockstep)",
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
@@ -468,13 +474,42 @@ def main():
             "peak / 6."
         ),
     )
+    ap.add_argument(
+        "--inline", action="store_true",
+        help="run configs in-process (default: one subprocess per config — "
+             "staged device buffers from earlier configs otherwise accumulate "
+             "on the relay and the big stream configs OOM the chip)",
+    )
     args = ap.parse_args()
+    keys = [k.strip() for k in args.configs.split(",")]
     results = []
-    for key in args.configs.split(","):
-        got = CONFIGS[key.strip()](args.frames)
-        for rec in got if isinstance(got, list) else [got]:
-            print(json.dumps(rec), flush=True)
-            results.append(rec)
+    if args.inline or len(keys) == 1:
+        for key in keys:
+            got = CONFIGS[key](args.frames)
+            for rec in got if isinstance(got, list) else [got]:
+                print(json.dumps(rec), flush=True)
+                results.append(rec)
+    else:
+        import subprocess
+        import sys
+        import tempfile
+
+        for key in keys:
+            with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+                tmp = tf.name
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--configs", key, "--frames", str(args.frames),
+                 "--out", tmp, "--meta", ""],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            if proc.returncode != 0:
+                results.append({"config": f"<config {key}>",
+                                "error": f"rc={proc.returncode}"})
+                continue
+            with open(tmp) as f:
+                results.extend(json.load(f))
+            os.unlink(tmp)
     if args.meta:
         results.append({"_meta": args.meta})
     with open(args.out, "w") as f:
