@@ -153,11 +153,16 @@ void pvot_ncc_match_f32(const float* frame, int64_t fh, int64_t fw,
       for (int64_t r = 0; r < th; ++r) {
         const float* fr = frame + (oy + r) * fw + ox;
         const float* tr = t_c + r * tw;
-        double acc = 0.0;
+        // Row dots accumulate in float under an omp-simd reduction (the
+        // reduction clause licenses the reordering SIMD needs); rows then
+        // sum in double.  Error stays under the f32-oracle comparison
+        // noise (pinned at 1e-5 in tests) and the inner loop vectorizes.
+        float acc = 0.0f;
+#pragma omp simd reduction(+ : acc)
         for (int64_t c = 0; c < tw; ++c) {
-          acc += static_cast<double>(fr[c]) * tr[c];
+          acc += fr[c] * tr[c];
         }
-        dot += acc;
+        dot += static_cast<double>(acc);
       }
       const double cov = dot - mu * sum_tc;
       // Double-epsilon denominator: t_std_in already holds one host-side
