@@ -410,7 +410,12 @@ def bench_stream_sweep(sizes=(8, 16, 32, 64)):
     lockstep stream count grows.  Frame counts shrink with S so staged
     device buffers stay within HBM (S=64 stages 64 x 720p uint8 per scan
     element)."""
-    plans = {8: (256, 64), 16: (128, 32), 32: (128, 16), 64: (64, 16)}
+    # S=64 staging is capped low: (64, 16) staged 3.8 GB and
+    # RESOURCE_EXHAUSTED the relay chip in round 2 even in a fresh process
+    # (the transient per-step region/im2col buffers at S=64 are ~0.5 GB on
+    # top).  The relay floor (~30 ms/run) biases the S=64 row upward; read
+    # it as a trend point, not an absolute.
+    plans = {8: (256, 64), 16: (128, 32), 32: (128, 16), 64: (48, 12)}
     out = []
     for s in sizes:
         frames, chunk = plans.get(s, (64, 8))
@@ -451,7 +456,14 @@ CONFIGS = {
     "5": lambda frames: bench_multi_object(),
     "6": lambda frames: bench_multi_stream(),
     # Saturation sweep: aggregate FPS + MFU vs lockstep stream count.
+    # One key per size — each runs in its own subprocess: even a single
+    # S=8 sweep member can RESOURCE_EXHAUST the relay chip when it shares
+    # a process with another staged config (observed twice in round 2).
     "7": lambda frames: bench_stream_sweep(),
+    "7a": lambda frames: bench_stream_sweep(sizes=(8,)),
+    "7b": lambda frames: bench_stream_sweep(sizes=(16,)),
+    "7c": lambda frames: bench_stream_sweep(sizes=(32,)),
+    "7d": lambda frames: bench_stream_sweep(sizes=(64,)),
     # Streams x batch combined (C10 parity semantics: one update / N frames).
     "8": lambda frames: bench_multi_stream(
         32, num_frames=128, chunk_size=16, frames_per_step=4
@@ -465,7 +477,7 @@ CONFIGS = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7,8,9,10")
+    ap.add_argument("--configs", default="1,2,3,4,5,6,7a,7b,7c,7d,8,9,10")
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.json"))
     ap.add_argument(
