@@ -440,17 +440,18 @@ CONFIGS = {
         for n in (4, 8, 16, 32)
     ],
     # r160 stress configs are pvot extensions (the reference never ran
-    # 1080p/4K): they use the fast engine — at radius 160 the correlation
-    # matmul dominates, so the 6->3 bf16-pass cut pays most here — and the
-    # bench still trajectory-checks every run (max_l1_err_px).
+    # 1080p/4K): they use the auto engine, which picks the Pallas kernel at
+    # this geometry (im2col HBM traffic outgrows the kernel's fixed
+    # Toeplitz-rebuild cost; measured crossover 1,670 -> 2,128 FPS at
+    # 1080p/r160, docs/PERFORMANCE.md).  Trajectory-checked every run.
     "4": lambda frames: [
         bench_tracking(
             "1080p_r160", width=1920, height=1080, radius=160,
-            num_frames=min(frames, 256), chunk_size=64, backend="fast",
+            num_frames=min(frames, 256), chunk_size=64, backend="auto",
         ),
         bench_tracking(
             "4k_r160", width=3840, height=2160, radius=160,
-            num_frames=min(frames, 128), chunk_size=32, backend="fast",
+            num_frames=min(frames, 128), chunk_size=32, backend="auto",
         ),
     ],
     "5": lambda frames: bench_multi_object(),

@@ -46,6 +46,9 @@ _MODE_FLAGS = {
     "--const_tiled": "const_tiled",
     "--fast": "fast",
     "--host": "host",
+    # Geometry-based engine choice (matmul at small radii, Pallas at large;
+    # measured crossover in docs/PERFORMANCE.md).
+    "--auto": "auto",
 }
 
 

@@ -55,9 +55,33 @@ MODE_TO_BACKEND = {
     # (the oracle tests' own 1e-5 tolerance) — for ~12% higher throughput.
     "fast": "xla_fast",
     "xla_fast": "xla_fast",
+    # Geometry-based engine choice (measured crossover, docs/PERFORMANCE.md):
+    # the matmul engine wins at small search radii (r60/720p: 10.4k vs 5.5k
+    # FPS) because the Pallas path pays a ~10.5 MB Toeplitz-operator rebuild
+    # per template update; the Pallas kernel wins once the im2col buffer
+    # outgrows that fixed cost (1080p/r160: 2,128 vs 1,670 FPS) because it
+    # keeps every intermediate in VMEM.
+    "auto": "auto",
     # Conv-based oracle (slow on TPU for large kernels; test/debug only).
     "ref_conv": "ref_conv",
 }
+
+
+def prefer_pallas(templ_shape, span_x: int, span_y: int) -> bool:
+    """auto-backend engine choice: compare the bytes the matmul engine
+    round-trips through HBM per region score (the im2col buffer; the
+    row-correlation tensor is the same size again) against the Pallas
+    engine's fixed per-template-update cost (the phase-concatenated
+    Toeplitz operator, ~10.5 MB at 80x80).  Measured crossover in
+    docs/PERFORMANCE.md: matmul wins at 720p/r60, Pallas wins at
+    1080p/r160."""
+    th, tw = templ_shape
+    region_rows = span_y + th - 1
+    im2col_bytes = region_rows * span_x * tw * 4
+    k_rows = -(-th // 8) * 8
+    tile_lanes = ((128 + tw - 1 + 127) // 128) * 128
+    toep_bytes = k_rows * tile_lanes * 128 * 4
+    return im2col_bytes > 1.5 * toep_bytes
 
 
 def get_backend(
@@ -95,6 +119,20 @@ def get_backend(
             make_opencv_full_fn(strip_rows=128),
             make_opencv_region_fn(span_x, span_y),
         )
+    if name == "auto":
+        if prefer_pallas(templ_shape, span_x, span_y):
+            from pvot.ops.ncc_pallas import (
+                pallas_full_fn,
+                pallas_region_fn,
+                pallas_supported,
+            )
+
+            if pallas_supported():
+                return (
+                    pallas_full_fn(frame_shape, templ_shape),
+                    pallas_region_fn(frame_shape, templ_shape, (span_y, span_x)),
+                )
+        return get_backend("xla_fast", frame_shape, templ_shape, config)
     if name == "pallas":
         from pvot.ops.ncc_pallas import (
             pallas_full_fn,

@@ -134,7 +134,7 @@ def test_backend_registry_covers_reference_modes(rng):
     t_mean, t_std = template_stats(templ)
     want = np.asarray(ncc_map_reference(frame, templ))
     for mode in ("cuda", "naive", "xla", "shared", "const", "const_tiled",
-                 "batch", "ref_conv", "fast", "xla_fast"):
+                 "batch", "ref_conv", "fast", "xla_fast", "auto"):
         assert mode in MODE_TO_BACKEND
         full_fn, region_fn = get_backend(mode, (48, 64), (8, 8), cfg)
         got = np.asarray(full_fn(frame, templ, t_mean, t_std))
@@ -176,3 +176,16 @@ def test_uint8_wire_dtype_matches_f32(rng):
             region_fn(frame_f32, templ, t_mean, t_std, jnp.int32(5), jnp.int32(7))
         )
         np.testing.assert_array_equal(ra, rb, err_msg=mode)
+
+
+def test_auto_backend_engine_choice():
+    """prefer_pallas implements the measured crossover (docs/PERFORMANCE.md):
+    matmul engine at 720p/r60 geometry, Pallas at r160."""
+    from pvot.ops.backends import prefer_pallas
+
+    # Headline geometry: 80x80 template, radius 60 -> im2col 7.7 MB < toep.
+    assert not prefer_pallas((80, 80), 121, 121)
+    # Stress geometry: radius 160 -> im2col ~41 MB > 1.5x toep.
+    assert prefer_pallas((80, 80), 321, 321)
+    # Tiny template, huge span: toep shrinks faster than im2col.
+    assert prefer_pallas((16, 16), 321, 321)
