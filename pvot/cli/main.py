@@ -449,7 +449,6 @@ def run_tracking(args) -> int:
     # --- Drawing/encode pass: re-decode and annotate; frames stream through
     # one at a time (the reference also writes inside its decode loop).
     show = not args.record and not args.no_display and os.environ.get("DISPLAY")
-    t_draw_start = time.perf_counter()
     if args.record or show:
         import cv2
 
@@ -495,7 +494,6 @@ def run_tracking(args) -> int:
         # is the tracking pass (device NCC + state scan, with decode
         # overlapped); drawing/encode is the extra cost on top.
         t_total = time.perf_counter() - t_start
-        del t_draw_start
         print("\n--------")
         print(" Tracking Complete")
         print(f" Mode       : {mode_label}")

@@ -206,37 +206,23 @@ def track_stream_batched(
     ring capacity, never the clip length.
     """
     import jax
-    import jax.numpy as jnp
-    from jax import lax
 
     from pvot.config import TrackerConfig
-    from pvot.ops.backends import get_backend
-    from pvot.tracker.scan import _stack_outputs, make_batch_step
-    from pvot.tracker.state import StepOutput
-    from pvot.tracker.step import make_step
+    from pvot.tracker.scan import (
+        _stack_outputs,
+        leftover_tail,
+        make_batched_scan_fn,
+        slice_batch_outputs,
+    )
 
     config = config or TrackerConfig()
     n = batch_size or config.batch_size
     h, w = frame_shape
     th, tw = state.template.shape
-    full_fn, region_fn = get_backend(backend, (h, w), (th, tw), config)
-    step = make_step(
-        (h, w), (th, tw), config,
-        ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
-    )
-    batch_step = make_batch_step(step, n)
     group = max(1, chunks_per_dispatch)
-
-    def masked_batch_step(state, xs):
-        batch, valid = xs
-        new_state, out = batch_step(state, batch)
-        keep = lambda new, old: jnp.where(valid, new, old)
-        return jax.tree.map(keep, new_state, state), out
-
-    def scan_batches(state, batches, valid):  # batches (group, n, H, W)
-        return lax.scan(masked_batch_step, state, (batches, valid))
-
-    scan_fn = jax.jit(scan_batches)
+    scan_fn = make_batched_scan_fn(
+        (h, w), (th, tw), config, n, strategy, backend
+    )
 
     # One pipeline chunk = one dispatch group of `group` batches; only the
     # final chunk can be partial (mid-stream chunks are always full).
@@ -253,29 +239,9 @@ def track_stream_batched(
                 state, jax.device_put(batches), jax.device_put(valid)
             )
             if k_full:
-                outs.append(
-                    StepOutput(
-                        bbox=out.bbox[:k_full].reshape(-1, 4),
-                        score=out.score[:k_full].reshape(-1),
-                        used_global=out.used_global[:k_full].reshape(-1),
-                        updated=out.updated[:k_full].reshape(-1),
-                    )
-                )
+                outs.append(slice_batch_outputs(out, k_full))
     finally:
         pipe.close()
     if leftover:
-        state_np = jax.device_get(state)
-        pre_bbox = np.array(
-            [state_np.bbox_x, state_np.bbox_y, state_np.bbox_w, state_np.bbox_h],
-            dtype=np.int32,
-        )
-        tail = StepOutput(
-            bbox=np.tile(pre_bbox[None, :], (leftover, 1)),
-            score=np.full((leftover,), -1.0, np.float32),
-            used_global=np.zeros((leftover,), bool),
-            updated=np.zeros((leftover,), bool),
-        )
-        if outs and not isinstance(outs[0].score, np.ndarray):
-            tail = jax.tree.map(jnp.asarray, tail)
-        outs.append(tail)
+        outs.append(leftover_tail(state, leftover, outs))
     return state, _stack_outputs(outs)

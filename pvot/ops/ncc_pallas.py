@@ -158,13 +158,16 @@ def _toeplitz_operators(t_centered: jax.Array, tile_lanes: int):
         toep[r, l, dx] = padded[r, (l-dx) mod L] = win[r, TX-1-dx, l]
 
     The mod-L wraparound is exact because columns >= tw of `padded` are
-    zero and L - TX >= tw (asserted below).  box is the same operator from
-    a ones row (shared by all templates of this geometry).
+    zero: the wrapped columns are padded[:, L-TX+1 .. L-1], so exactness
+    needs tw <= L - TX + 1 (asserted below; verified element-exact against
+    the roll construction incl. the tw = L-TX+1 boundary in
+    tests/test_ncc_pallas.py).  box is the same operator from a ones row
+    (shared by all templates of this geometry).
     """
     th, tw = t_centered.shape
     k_blocks = -(-th // 8)
     L = tile_lanes
-    if L - TX < tw:
+    if L - TX + 1 < tw:
         raise ValueError(f"tile_lanes {L} too small for template width {tw}")
     padded = jnp.pad(
         t_centered, ((0, 8 * k_blocks - th), (0, L - tw))

@@ -110,7 +110,18 @@ def make_search_sharded_step(
         def per_shard(states, frames):
             my = lax.axis_index(search_axis)
 
-            def one_stream(state: TrackerState, frame: jax.Array):
+            # Structure note (round-2 review fix): the per-stream work is
+            # vmapped, and under vmap lax.cond lowers to a select that
+            # executes BOTH branches — so the expensive global full-map
+            # pass must NOT sit inside a per-stream cond (the CLAUDE.md /
+            # pvot.parallel.multi trap).  Instead: the cheap local slab
+            # pass always runs (vmapped), and the global pass runs under a
+            # SCALAR cond — only on frames where some local stream needs
+            # re-acquisition — overlaid via where.  The predicate is
+            # replicated over the search axis (states are), so every
+            # search shard takes the same branch.
+
+            def local_pass(state: TrackerState, frame: jax.Array):
                 # Frame stays in wire dtype; slab/strip/patch slices convert
                 # after slicing (pvot.io.gray.ensure_gray_f32, bit-exact).
                 bbox_outside = is_bbox_outside_frame(
@@ -132,50 +143,74 @@ def make_search_sharded_step(
                 )
                 global_argmax = use_global | ~bounds.valid
 
-                def do_local(frame, st):
-                    x0, y0 = search_ops.region_origin(
-                        bounds, out_w, out_h, span_x, span_y
-                    )
-                    scores, slab_y0 = _slab_scores_local(
-                        frame, st.template, st.t_mean, st.t_std, x0, y0, my
-                    )
-                    # Mask to both the true window AND this slab's share to
-                    # avoid double-counting clamp overlap.
-                    sy, sx = scores.shape
-                    yy = slab_y0 + lax.broadcasted_iota(jnp.int32, (sy, sx), 0)
-                    xx = x0 + lax.broadcasted_iota(jnp.int32, (sy, sx), 1)
-                    share_lo = y0 + my * slab_y
-                    mask = (
-                        (xx >= bounds.min_tx) & (xx <= bounds.max_tx)
-                        & (yy >= bounds.min_ty) & (yy <= bounds.max_ty)
-                        & (yy >= share_lo) & (yy < share_lo + slab_y)
-                    )
-                    v, rx, ry = search_ops.argmax2d(
-                        jnp.where(mask, scores, search_ops.NEG_INF)
-                    )
-                    return v, x0 + rx, slab_y0 + ry
+                x0, y0 = search_ops.region_origin(
+                    bounds, out_w, out_h, span_x, span_y
+                )
+                scores, slab_y0 = _slab_scores_local(
+                    frame, state.template, state.t_mean, state.t_std, x0, y0, my
+                )
+                # Mask to both the true window AND this slab's share to
+                # avoid double-counting clamp overlap.
+                sy, sx = scores.shape
+                yy = slab_y0 + lax.broadcasted_iota(jnp.int32, (sy, sx), 0)
+                xx = x0 + lax.broadcasted_iota(jnp.int32, (sy, sx), 1)
+                share_lo = y0 + my * slab_y
+                mask = (
+                    (xx >= bounds.min_tx) & (xx <= bounds.max_tx)
+                    & (yy >= bounds.min_ty) & (yy <= bounds.max_ty)
+                    & (yy >= share_lo) & (yy < share_lo + slab_y)
+                )
+                v, rx, ry = search_ops.argmax2d(
+                    jnp.where(mask, scores, search_ops.NEG_INF)
+                )
+                return use_global, global_argmax, v, x0 + rx, slab_y0 + ry
 
-                def do_global(frame, st):
-                    gy0 = jnp.minimum(my * full_slab, out_h - full_slab)
-                    strip = lax.dynamic_slice(
-                        frame, (gy0, 0), (full_slab + templ_h - 1, frame_w)
-                    )
-                    scores = ncc_map_matmul(strip, st.template, st.t_mean, st.t_std)
-                    sy, sx = scores.shape
-                    yy = gy0 + lax.broadcasted_iota(jnp.int32, (sy, sx), 0)
-                    share_lo = my * full_slab
-                    mask = (yy >= share_lo) & (yy < share_lo + full_slab)
-                    v, rx, ry = search_ops.argmax2d(
-                        jnp.where(mask, scores, search_ops.NEG_INF)
-                    )
-                    return v, rx, gy0 + ry
+            use_global, global_k, l_val, l_x, l_y = jax.vmap(local_pass)(
+                states, frames
+            )
 
-                lv, lx, ly = lax.cond(global_argmax, do_global, do_local, frame, state)
-                best_val, best_x, best_y = _lex_combine(lv, lx, ly, search_axis)
+            def global_one(state: TrackerState, frame: jax.Array):
+                gy0 = jnp.minimum(my * full_slab, out_h - full_slab)
+                strip = lax.dynamic_slice(
+                    frame, (gy0, 0), (full_slab + templ_h - 1, frame_w)
+                )
+                scores = ncc_map_matmul(
+                    strip, state.template, state.t_mean, state.t_std
+                )
+                sy, sx = scores.shape
+                yy = gy0 + lax.broadcasted_iota(jnp.int32, (sy, sx), 0)
+                share_lo = my * full_slab
+                mask = (yy >= share_lo) & (yy < share_lo + full_slab)
+                v, rx, ry = search_ops.argmax2d(
+                    jnp.where(mask, scores, search_ops.NEG_INF)
+                )
+                return v, rx, gy0 + ry
 
+            def do_global(frames):
+                return jax.vmap(global_one)(states, frames)
+
+            def skip_global(frames):
+                k = use_global.shape[0]
+                return (
+                    jnp.zeros((k,), jnp.float32),
+                    jnp.zeros((k,), jnp.int32),
+                    jnp.zeros((k,), jnp.int32),
+                )
+
+            g_val, g_x, g_y = lax.cond(
+                jnp.any(global_k), do_global, skip_global, frames
+            )
+            cand_val = jnp.where(global_k, g_val, l_val)
+            cand_x = jnp.where(global_k, g_x, l_x)
+            cand_y = jnp.where(global_k, g_y, l_y)
+            best_val, best_x, best_y = jax.vmap(
+                lambda v, x, y: _lex_combine(v, x, y, search_axis)
+            )(cand_val, cand_x, cand_y)
+
+            def update_one(state, frame, best_val, best_x, best_y, ug, ga):
                 # Replicated state update (identical on every search shard).
                 threshold = jnp.where(
-                    use_global, config.global_confidence, config.min_confidence
+                    ug, config.global_confidence, config.min_confidence
                 )
                 accept = best_val >= threshold
                 new_bx = jnp.where(accept, best_x, state.bbox_x)
@@ -187,7 +222,7 @@ def make_search_sharded_step(
                     new_bx, new_by, new_bw, new_bh, frame_w, frame_h
                 )
                 use_global_next = jnp.where(
-                    accept & ~new_out, jnp.bool_(False), use_global
+                    accept & ~new_out, jnp.bool_(False), ug
                 )
                 strong = accept & (best_val >= config.strong_confidence)
                 patch = ensure_gray_f32(
@@ -209,12 +244,14 @@ def make_search_sharded_step(
                 out = StepOutput(
                     bbox=jnp.stack([new_bx, new_by, new_bw, new_bh]),
                     score=best_val,
-                    used_global=global_argmax,
+                    used_global=ga,
                     updated=accept,
                 )
                 return new_state, out
 
-            return jax.vmap(one_stream)(states, frames)
+            return jax.vmap(update_one)(
+                states, frames, best_val, best_x, best_y, use_global, global_k
+            )
 
         state_spec = jax.tree.map(lambda _: P(data_axis), states)
         out_spec = (

@@ -209,6 +209,71 @@ def make_batch_step(step, batch_size: int):
     return batch_step
 
 
+def make_batched_scan_fn(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    batch_size: int,
+    strategy: str = "fused",
+    backend: str = "xla",
+):
+    """Jitted masked scan over look-ahead batches: (state, batches
+    (K, n, H, W), valid (K,)) -> (state, outs).  The C10 parity core shared
+    by the array driver (track_video_batched) and the streaming driver
+    (pvot.io.pipeline.track_stream_batched)."""
+    from pvot.ops.backends import get_backend
+
+    full_fn, region_fn = get_backend(backend, frame_shape, templ_shape, config)
+    step = make_step(
+        frame_shape, templ_shape, config,
+        ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
+    )
+    batch_step = make_batch_step(step, batch_size)
+
+    def masked_batch_step(state, xs):
+        batch, valid = xs
+        new_state, out = batch_step(state, batch)
+        keep = lambda new, old: jnp.where(valid, new, old)
+        return jax.tree.map(keep, new_state, state), out
+
+    def scan_batches(state, batches, valid):
+        return lax.scan(masked_batch_step, state, (batches, valid))
+
+    return jax.jit(scan_batches)
+
+
+def slice_batch_outputs(out: StepOutput, k_real: int) -> StepOutput:
+    """Flatten the first k_real batches of a (K, n, ...) batched-scan output
+    into per-frame records."""
+    return StepOutput(
+        bbox=out.bbox[:k_real].reshape(-1, 4),
+        score=out.score[:k_real].reshape(-1),
+        used_global=out.used_global[:k_real].reshape(-1),
+        updated=out.updated[:k_real].reshape(-1),
+    )
+
+
+def leftover_tail(state: TrackerState, leftover: int, outs) -> StepOutput:
+    """Records for end-of-video frames that never filled a batch: previous
+    bbox re-emitted, no update (main.cpp:386-392 — the loop continues until
+    the batch is full; end-of-video leaves it partial).  Matches the dtype
+    family of `outs` so _stack_outputs concatenates cleanly."""
+    state_np = jax.device_get(state)
+    pre_bbox = np.array(
+        [state_np.bbox_x, state_np.bbox_y, state_np.bbox_w, state_np.bbox_h],
+        dtype=np.int32,
+    )
+    tail = StepOutput(
+        bbox=np.tile(pre_bbox[None, :], (leftover, 1)),
+        score=np.full((leftover,), -1.0, np.float32),
+        used_global=np.zeros((leftover,), bool),
+        updated=np.zeros((leftover,), bool),
+    )
+    if outs and not isinstance(outs[0].score, np.ndarray):
+        tail = jax.tree.map(jnp.asarray, tail)
+    return tail
+
+
 def track_video_batched(
     frames: np.ndarray,
     state: TrackerState,
@@ -228,25 +293,7 @@ def track_video_batched(
     frames = np.asarray(frames)
     f, h, w = frames.shape
     th, tw = state.template.shape
-    from pvot.ops.backends import get_backend
-
-    full_fn, region_fn = get_backend(backend, (h, w), (th, tw), config)
-    step = make_step(
-        (h, w), (th, tw), config,
-        ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
-    )
-    batch_step = make_batch_step(step, n)
-
-    def masked_batch_step(state, xs):
-        batch, valid = xs
-        new_state, out = batch_step(state, batch)
-        keep = lambda new, old: jnp.where(valid, new, old)
-        return jax.tree.map(keep, new_state, state), out
-
-    def scan_batches(state, batches, valid):  # batches (K, n, H, W)
-        return lax.scan(masked_batch_step, state, (batches, valid))
-
-    scan_fn = jax.jit(scan_batches)
+    scan_fn = make_batched_scan_fn((h, w), (th, tw), config, n, strategy, backend)
 
     num_full = f // n
     outs = []
@@ -260,29 +307,8 @@ def track_video_batched(
             batches = np.concatenate([batches, pad], axis=0)
         valid = np.arange(group) < k_real
         state, out = scan_fn(state, jax.device_put(batches), jax.device_put(valid))
-        outs.append(
-            StepOutput(
-                bbox=out.bbox[:k_real].reshape(-1, 4),
-                score=out.score[:k_real].reshape(-1),
-                used_global=out.used_global[:k_real].reshape(-1),
-                updated=out.updated[:k_real].reshape(-1),
-            )
-        )
-    # Leftover partial batch: previous bbox, no update.
+        outs.append(slice_batch_outputs(out, k_real))
     leftover = f - num_full * n
     if leftover:
-        state_np = jax.device_get(state)
-        pre_bbox = np.array(
-            [state_np.bbox_x, state_np.bbox_y, state_np.bbox_w, state_np.bbox_h],
-            dtype=np.int32,
-        )
-        tail = StepOutput(
-            bbox=np.tile(pre_bbox[None, :], (leftover, 1)),
-            score=np.full((leftover,), -1.0, np.float32),
-            used_global=np.zeros((leftover,), bool),
-            updated=np.zeros((leftover,), bool),
-        )
-        if outs and not isinstance(outs[0].score, np.ndarray):
-            tail = jax.tree.map(jnp.asarray, tail)
-        outs.append(tail)
+        outs.append(leftover_tail(state, leftover, outs))
     return state, _stack_outputs(outs)

@@ -63,7 +63,9 @@ def test_toeplitz_hankel_build_matches_rolls(rng):
     construction for every (th, tw) bucket shape."""
     from pvot.ops.ncc_pallas import TX, _round_up, _toeplitz_operators
 
-    for th, tw in [(16, 12), (9, 11), (80, 80), (8, 128)]:
+    # (9, 129) is the wraparound boundary tw == tile_lanes - TX + 1: exact,
+    # and a guard regression (round-2 review) once rejected it.
+    for th, tw in [(16, 12), (9, 11), (80, 80), (8, 128), (9, 129)]:
         t = rng.random((th, tw)).astype(np.float32)
         tile_lanes = _round_up(TX + tw - 1, 128)
         got = np.asarray(_toeplitz_operators(jnp.asarray(t), tile_lanes))
