@@ -53,6 +53,9 @@ def run_bench(
     # validates the tracked trajectory against ground truth either way.
     backend: str = "fast",
 ) -> dict:
+    from pvot.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

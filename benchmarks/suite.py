@@ -498,6 +498,9 @@ def main():
              "on the relay and the big stream configs OOM the chip)",
     )
     args = ap.parse_args()
+    from pvot.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()  # scan compiles persist across subprocesses
     keys = [k.strip() for k in args.configs.split(",")]
     results = []
     if args.inline or len(keys) == 1:

@@ -333,6 +333,9 @@ def _draw_fps(frame_bgr: np.ndarray, fps: float) -> None:
 
 
 def run_tracking(args) -> int:
+    from pvot.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()  # scan compiles persist across CLI runs
     import jax.numpy as jnp
 
     from pvot.io.gray import gray_u8_to_f32

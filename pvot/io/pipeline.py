@@ -180,7 +180,16 @@ def track_stream(
             state, out = scan_fn(
                 state, jax.device_put(chunk), jax.device_put(valid)
             )
-            outs.append(jax.tree.map(lambda a: a[:n_real], out))
+            # Fetch each chunk's per-frame records eagerly (they are tiny:
+            # bbox/score/flags).  This bounds device-side output memory, is
+            # the natural streaming contract (results arrive as the stream
+            # advances), and avoids the remote-relay worst case where a
+            # single end-of-run fetch must drain the entire enqueued video
+            # (measured minutes / occasional silent process death on the
+            # test harness;
+            # see docs/PERFORMANCE.md measurement protocol).
+            host = jax.tree.map(lambda a: np.asarray(a[:n_real]), out)
+            outs.append(host)
     finally:
         pipe.close()
     return state, _stack_outputs(outs)
@@ -239,7 +248,10 @@ def track_stream_batched(
                 state, jax.device_put(batches), jax.device_put(valid)
             )
             if k_full:
-                outs.append(slice_batch_outputs(out, k_full))
+                # Eager per-group fetch, same rationale as track_stream.
+                outs.append(
+                    jax.tree.map(np.asarray, slice_batch_outputs(out, k_full))
+                )
     finally:
         pipe.close()
     if leftover:
