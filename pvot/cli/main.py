@@ -115,6 +115,10 @@ def parse_args(argv: List[str]):
              "time accumulator (tracker/src/main.cpp:175-182)",
     )
     p.add_argument(
+        "--trajectory-out", type=str, default=None,
+        help="write per-frame results (bbox/score/flags) as JSON lines",
+    )
+    p.add_argument(
         "--checkpoint-out", type=str, default=None,
         help="save the final tracker state (bbox/template/counters) to this .npz",
     )
@@ -478,6 +482,24 @@ def run_tracking(args) -> int:
                     break
         if writer:
             writer.close()
+
+    if args.trajectory_out:
+        import json
+
+        bb = np.asarray(out.bbox)
+        sc = np.asarray(out.score)
+        ug = np.asarray(out.used_global)
+        up = np.asarray(out.updated)
+        with open(args.trajectory_out, "w") as f:
+            for i in range(len(bb)):
+                f.write(json.dumps({
+                    "frame": track_from + i,
+                    "bbox": bb[i].tolist(),
+                    "score": round(float(sc[i]), 6),
+                    "used_global": bool(ug[i]),
+                    "updated": bool(up[i]),
+                }) + "\n")
+        print(f"Trajectory written: {args.trajectory_out}")
 
     if args.checkpoint_out:
         from pvot.utils.checkpoint import save_state

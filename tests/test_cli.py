@@ -234,3 +234,23 @@ def test_host_mode_cli_matches_device_mode(tmp_path, monkeypatch, capsys):
         np.asarray(host_final.template), np.asarray(dev_final.template),
         atol=1e-6,
     )
+
+
+def test_trajectory_out_json(tmp_path, monkeypatch, capsys):
+    """--trajectory-out writes one JSON line per tracked frame."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("DISPLAY", raising=False)
+    traj = tmp_path / "traj.jsonl"
+    rc = main([
+        "--synthetic", "320x240x10", "--first", "--roi", "144,104,32,32",
+        "--chunk-size", "4", "--trajectory-out", str(traj),
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in traj.read_text().splitlines()]
+    assert len(lines) == 9  # 10 frames - template frame
+    assert lines[0]["frame"] == 1
+    assert len(lines[0]["bbox"]) == 4 and lines[0]["updated"] in (True, False)
+    assert all(-1.01 <= l["score"] <= 1.01 for l in lines)
+    assert any(l["updated"] for l in lines)
