@@ -87,3 +87,22 @@ def test_performance_doc_in_sync(tmp_path):
         capture_output=True, text=True, cwd=repo,
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_jaxcache_enable_and_disable(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX at a persistent cache dir and
+    respects the PVOT_JAX_CACHE=0 opt-out."""
+    import jax
+
+    from pvot.utils.jaxcache import enable_compilation_cache
+
+    monkeypatch.setenv("PVOT_JAX_CACHE", str(tmp_path / "cache"))
+    got = enable_compilation_cache()
+    assert got == str(tmp_path / "cache")
+    import os
+
+    assert os.path.isdir(got)
+    assert jax.config.jax_compilation_cache_dir == got
+
+    monkeypatch.setenv("PVOT_JAX_CACHE", "0")
+    assert enable_compilation_cache() is None

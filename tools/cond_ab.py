@@ -3,13 +3,21 @@
 step_breakdown.py attributed +19 us/frame to the global-search cond.  Three
 variants, same tracked clip (1024 frames, chunk 512, fast engine):
 
-  branch  — the shipping step: cond selects do_global vs do_local
-  overlay — do_local ALWAYS runs; cond(global, do_global, zeros) overlays
-            the rare global result (the multi-object step's structure).
-            Semantics identical: when global fires the local result is
-            discarded by the where; when it doesn't, the cond's live branch
-            is trivial.
-  none    — enable_global_search=False (no cond at all): the lower bound.
+  branch  — the round-1 structure, inlined HERE for reproducibility (the
+            shipping step adopted `overlay` after this tool's measurement):
+            one cond SELECTS do_global vs do_local.
+  overlay — the shipping fused step (pvot.tracker.step.make_step): the
+            local region pass ALWAYS runs; cond(global, do_global, zeros)
+            overlays the rare global result.  Semantics identical: when
+            global fires the local result is discarded by the where; when
+            it doesn't, the cond's live branch is trivial.
+  none    — enable_global_search=False.  NOT cond-free: the
+            collapsed-window fallback cond remains (its dynamic
+            ~bounds.valid predicate keeps the global branch compiled in),
+            so read it as "no re-acquisition mode", not a lower bound.
+
+Measured on-chip (round 2): branch 111.3 -> overlay 106.5 us/frame,
+trajectories bit-equal.
 
 Usage: nohup python tools/cond_ab.py > /tmp/cond_ab.log 2>&1 &
 """
@@ -28,6 +36,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(width: int = 1280, height: int = 720, templ: int = 80,
          num_frames: int = 1024, chunk: int = 512) -> None:
+    if num_frames % chunk:
+        raise ValueError("num_frames must be a multiple of chunk (no tail "
+                         "padding in this tool; the fixed-length valid mask "
+                         "would mismatch a partial final chunk)")
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -56,7 +68,12 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
     out_h = height - templ + 1
     lost_threshold = int(config.lost_frame_threshold)
 
-    def make_overlay_step():
+    from pvot.io.gray import ensure_gray_f32
+
+    def make_branch_step():
+        """The round-1 cond-SELECT structure, preserved here verbatim so the
+        A/B stays reproducible after the shipping step moved to overlay."""
+
         def step(state, frame):
             bbox_outside = is_bbox_outside_frame(
                 state.bbox_x, state.bbox_y, state.bbox_w, state.bbox_h,
@@ -74,25 +91,24 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
             )
             global_argmax = use_global | ~bounds.valid
 
-            x0, y0 = search_ops.region_origin(bounds, out_w, out_h, span_x, span_y)
-            scores = region_fn(frame, state.template, state.t_mean, state.t_std, x0, y0)
-            l_val, l_x, l_y = search_ops.masked_region_argmax(scores, x0, y0, bounds)
-
-            def do_global(frame):
+            def do_global(frame, st):
                 m = full_fn(
-                    frame.astype(jnp.float32) * jnp.float32(1 / 255.0)
-                    if frame.dtype == jnp.uint8 else frame,
-                    state.template, state.t_mean, state.t_std,
+                    ensure_gray_f32(frame), st.template, st.t_mean, st.t_std
                 )
                 return search_ops.argmax2d(m)
 
-            def skip(frame):
-                return (jnp.float32(0.0), jnp.int32(0), jnp.int32(0))
+            def do_local(frame, st):
+                x0, y0 = search_ops.region_origin(
+                    bounds, out_w, out_h, span_x, span_y
+                )
+                scores = region_fn(
+                    frame, st.template, st.t_mean, st.t_std, x0, y0
+                )
+                return search_ops.masked_region_argmax(scores, x0, y0, bounds)
 
-            g_val, g_x, g_y = lax.cond(global_argmax, do_global, skip, frame)
-            best_val = jnp.where(global_argmax, g_val, l_val)
-            best_x = jnp.where(global_argmax, g_x, l_x)
-            best_y = jnp.where(global_argmax, g_y, l_y)
+            best_val, best_x, best_y = lax.cond(
+                global_argmax, do_global, do_local, frame, state
+            )
             return apply_update(
                 state, frame, best_val, best_x, best_y, use_global,
                 global_argmax, (height, width), (templ, templ), config,
@@ -101,10 +117,10 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
         return step
 
     steps = {
-        "branch": make_step((height, width), (templ, templ), config,
-                            ncc_full_fn=full_fn, ncc_region_fn=region_fn,
-                            strategy="fused"),
-        "overlay": make_overlay_step(),
+        "branch": make_branch_step(),
+        "overlay": make_step((height, width), (templ, templ), config,
+                             ncc_full_fn=full_fn, ncc_region_fn=region_fn,
+                             strategy="fused"),
         "none": make_step((height, width), (templ, templ),
                           TrackerConfig(enable_global_search=False),
                           ncc_full_fn=full_fn, ncc_region_fn=region_fn,
