@@ -8,12 +8,14 @@ strongest cross-check both directions.
 """
 
 import numpy as np
+import pytest
+
 import jax.numpy as jnp
 
 import pvot
 from pvot.config import TrackerConfig
 from pvot.io.gray import gray_u8_to_f32
-from pvot.io.synthetic import target_bbox
+from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
 from pvot.models.host import HostTracker, track_video_host
 from pvot.ops.ncc_reference import ncc_map_reference, template_stats
 from pvot.runtime import native
@@ -109,3 +111,30 @@ def test_host_windows_tree_variant(small_spec, small_video):
     templ = gray_u8_to_f32(small_video[0])[y : y + h, x : x + w]
     _, host = track_video_host(small_video[1:], templ, (x, y, w, h), config)
     assert not host["used_global"].any()
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_host_vs_device_fuzz(seed):
+    """Randomized geometry/motion: the host loop and the scanned device path
+    must agree exactly (bbox + flags) — the strongest guard on the two
+    independent implementations of C5-C8."""
+    rng = np.random.default_rng(seed)
+    tw = int(rng.choice([24, 32, 40]))
+    radius = int(rng.choice([16, 24, 30]))
+    spec = SyntheticSpec(
+        width=288, height=224, num_frames=25, target_w=tw, target_h=tw,
+        seed=seed,
+        amplitude=float(rng.uniform(0.3, 1.0)),
+        noise_std=float(rng.uniform(0.0, 0.02)),
+    )
+    video = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    cfg = TrackerConfig(search_radius_x=radius, search_radius_y=radius,
+                        lost_frame_threshold=4)
+    templ = gray_u8_to_f32(video[0])[y : y + h, x : x + w]
+    state = pvot.init_state(jnp.asarray(templ), (x, y, w, h))
+    _, dev = pvot.track_video(video[1:], state, config=cfg)
+    _, host = track_video_host(video[1:], templ, (x, y, w, h), cfg)
+    np.testing.assert_array_equal(host["bbox"], np.asarray(dev.bbox))
+    np.testing.assert_array_equal(host["used_global"], np.asarray(dev.used_global))
+    np.testing.assert_array_equal(host["updated"], np.asarray(dev.updated))
