@@ -5,6 +5,14 @@ region of docs/PERFORMANCE.md between the GENERATED markers from it (plus
 BENCH_r*.json headline lines when present), so the prose can never drift
 from the measured artifacts again.
 
+The generated block records a manifest of the artifacts (name + content
+hash) it was rendered from.  `--check` validates the doc against exactly
+those artifacts: a table is stale when a manifested file changed or
+disappeared, NOT when a new driver BENCH_r*.json merely appears in the tree
+(the round-2 failure mode: every driver round dropped a new headline file
+and broke the committed check).  A plain regenerate picks up new artifacts
+and refreshes the manifest.
+
 Run:  python benchmarks/report.py [--check]
 --check exits non-zero if the doc is stale instead of rewriting it.
 """
@@ -13,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import hashlib
 import json
 import os
 import re
@@ -23,6 +32,19 @@ REPO = os.path.dirname(HERE)
 DOC = os.path.join(REPO, "docs", "PERFORMANCE.md")
 BEGIN = "<!-- BEGIN GENERATED RESULTS (benchmarks/report.py) -->"
 END = "<!-- END GENERATED RESULTS -->"
+MANIFEST_RE = re.compile(r"<!-- sources: (.*?) -->")
+
+
+def _short_hash(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:12]
+
+
+def _manifest_line(paths) -> str:
+    entries = " ".join(
+        f"{os.path.basename(p)}@{_short_hash(p)}" for p in paths
+    )
+    return f"<!-- sources: {entries} -->"
 
 _LABELS = {
     "cpu_parity_720p": "720p `--cpu` parity flow (full map/frame)",
@@ -61,14 +83,21 @@ def _fmt_fps(v):
     return f"{v:,.0f}"
 
 
-def render() -> str:
-    with open(os.path.join(HERE, "results.json")) as f:
+def render(bench_files=None) -> str:
+    """Render the generated block.  bench_files pins the BENCH_r*.json
+    headline sources (used by --check to render from the doc's recorded
+    manifest); None globs the tree (a fresh regenerate)."""
+    results_path = os.path.join(HERE, "results.json")
+    with open(results_path) as f:
         results = json.load(f)
     meta = next((r["_meta"] for r in results if "_meta" in r), "")
     results = [r for r in results if "_meta" not in r]
 
-    lines = [BEGIN, ""]
-    headlines = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if bench_files is None:
+        headlines = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    else:
+        headlines = [os.path.join(REPO, os.path.basename(p)) for p in bench_files]
+    lines = [BEGIN, _manifest_line([results_path] + headlines), ""]
     for p in headlines:
         try:
             with open(p) as f:
@@ -82,7 +111,7 @@ def render() -> str:
                 )
         except Exception:
             continue
-    if len(lines) > 2:
+    if len(lines) > 3:
         lines.append("")
 
     lines.append("| Config | FPS | vs reference | Notes |")
@@ -125,21 +154,45 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
-    block = render()
     with open(DOC) as f:
         doc = f.read()
     if BEGIN not in doc or END not in doc:
         print(f"markers missing in {DOC}", file=sys.stderr)
         return 1
-    new_doc = re.sub(
-        re.escape(BEGIN) + r".*?" + re.escape(END), block, doc, flags=re.S
-    )
     if args.check:
+        # Pin the check to the artifacts the committed table was generated
+        # from (the doc's manifest), so an untracked driver artifact
+        # appearing later cannot retroactively break the suite.
+        m = MANIFEST_RE.search(doc)
+        if not m:
+            print("docs/PERFORMANCE.md has no sources manifest; regenerate")
+            return 1
+        bench_files = []
+        for entry in m.group(1).split():
+            name, _, want_hash = entry.partition("@")
+            path = HERE if name == "results.json" else REPO
+            path = os.path.join(path, name)
+            if not os.path.exists(path):
+                print(f"manifested source {name} is missing; regenerate")
+                return 1
+            if _short_hash(path) != want_hash:
+                print(f"manifested source {name} changed; regenerate")
+                return 1
+            if name.startswith("BENCH_r"):
+                bench_files.append(path)
+        block = render(bench_files=bench_files)
+        new_doc = re.sub(
+            re.escape(BEGIN) + r".*?" + re.escape(END), block, doc, flags=re.S
+        )
         if new_doc != doc:
             print("docs/PERFORMANCE.md is stale; run benchmarks/report.py")
             return 1
         print("docs/PERFORMANCE.md is in sync")
         return 0
+    block = render()
+    new_doc = re.sub(
+        re.escape(BEGIN) + r".*?" + re.escape(END), block, doc, flags=re.S
+    )
     with open(DOC, "w") as f:
         f.write(new_doc)
     print(f"rewrote generated block in {DOC}")

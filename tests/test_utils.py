@@ -89,6 +89,33 @@ def test_performance_doc_in_sync(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+def test_performance_doc_check_ignores_new_bench_artifacts():
+    """A NEW driver BENCH_r*.json appearing after the doc was generated must
+    not make --check fail: the check is pinned to the doc's recorded source
+    manifest (the round-2 regression: every driver round dropped a fresh
+    headline artifact and broke the committed suite)."""
+    import json
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    probe = os.path.join(repo, "BENCH_r98.json")
+    assert not os.path.exists(probe)
+    try:
+        with open(probe, "w") as f:
+            json.dump({"parsed": {"metric": "tracked_fps", "value": 1.0,
+                                  "unit": "frames/s", "vs_baseline": 0.1}}, f)
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "benchmarks", "report.py"),
+             "--check"],
+            capture_output=True, text=True, cwd=repo,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+    finally:
+        os.remove(probe)
+
+
 def test_jaxcache_enable_and_disable(tmp_path, monkeypatch):
     """enable_compilation_cache points JAX at a persistent cache dir and
     respects the PVOT_JAX_CACHE=0 opt-out."""
