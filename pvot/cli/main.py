@@ -35,10 +35,11 @@ from pvot.config import TrackerConfig
 
 
 # Reference mode-flag spelling (main.cpp:63-75), plus pvot's serving mode
-# (--fast: correlation matmul at precision=HIGH — trajectory-identical,
-# ~12% faster; see pvot.ops.backends) and --host (accelerator-free: the
-# native C++ NCC engine + host loop, pvot.models.host — trajectory-equal
-# to the device path, runs with no TPU at all).
+# (--fast: correlation matmul at precision=HIGH — measured trajectory-
+# identical, ~12% faster; see pvot.ops.backends) and --host (accelerator-
+# free: the native C++ NCC engine + host loop, pvot.models.host —
+# trajectory-equal to the device path on all tested clips, runs with no
+# TPU at all).
 _MODE_FLAGS = {
     "--cpu": "cpu",
     "--shared": "shared",
@@ -68,18 +69,23 @@ def generate_output_path(video_path: str, mode: str, batch_size: int) -> str:
 
 def parse_args(argv: List[str]):
     """Hand-rolled to accept the reference's exact flag spelling (including
-    --batch=N) alongside the extended options."""
-    mode = "cuda"  # reference default (main.cpp:59)
+    --batch=N) alongside the extended options.
+
+    An engine flag composes with --batch=N: `--batch=8 --fast` runs batch
+    semantics (C10) on the fast engine.  The reference's --batch is
+    naive-kernel-only (main.cpp:71-74), so mode/output naming stays "batch"
+    for parity; the engine choice is pvot's extension."""
+    engine = None  # NCC engine flag (--cpu/--shared/--fast/...), if given
     batch_size = 0
     passthrough = []
     for arg in argv:
         if arg in _MODE_FLAGS:
-            mode = _MODE_FLAGS[arg]
+            engine = _MODE_FLAGS[arg]
         elif arg.startswith("--batch="):
-            mode = "batch"
             batch_size = max(1, int(arg.split("=", 1)[1] or 1))
         else:
             passthrough.append(arg)
+    mode = "batch" if batch_size else (engine or "cuda")  # main.cpp:59 default
 
     p = argparse.ArgumentParser(
         prog="pvot",
@@ -129,6 +135,12 @@ def parse_args(argv: List[str]):
     args = p.parse_args(passthrough)
     args.mode = mode
     args.batch_size = batch_size
+    # The NCC engine driving the batch scan (default: the xla matmul
+    # engine, the reference naive-kernel analog).
+    args.engine = engine or "cuda"
+    if args.mode == "batch" and args.engine == "host":
+        p.error("--host has no batch driver; drop --batch=N or the "
+                "engine flag")
     if args.search_radius is not None:
         args.search_radius_x = args.search_radius_y = args.search_radius
     return args
@@ -336,6 +348,28 @@ def _draw_fps(frame_bgr: np.ndarray, fps: float) -> None:
     )
 
 
+def per_frame_fps(timings, n_frames: int, fallback: float) -> np.ndarray:
+    """Expand (n_frames, seconds) tracking-pass timings into a per-frame FPS
+    array for the on-frame overlay.
+
+    The reference burns each frame's instantaneous tick-delta FPS into the
+    recorded output (tracker_ghc/src/main.cpp:470-478).  pvot tracks in
+    scanned chunks, so the finest honestly-timeable rate is per chunk (per
+    frame on the host path, whose driver times each frame); frames not
+    covered by a timing record (e.g. batch-mode leftovers) fall back to the
+    run average."""
+    fps = np.full((n_frames,), fallback, np.float64)
+    i = 0
+    for n, dt in timings:
+        rate = (n / dt) if dt > 0 else fallback
+        n = min(int(n), n_frames - i)
+        if n <= 0:
+            break
+        fps[i : i + n] = rate
+        i += n
+    return fps
+
+
 def run_tracking(args) -> int:
     from pvot.utils.jaxcache import enable_compilation_cache
 
@@ -390,9 +424,13 @@ def run_tracking(args) -> int:
 
     backend = args.mode
     mode_label = args.mode
-    print(f"Tracking mode: {mode_label}" + (
-        f" (batch size: {args.batch_size})" if args.mode == "batch" else ""
-    ))
+    suffix = ""
+    if args.mode == "batch":
+        suffix = f" (batch size: {args.batch_size}"
+        if args.engine != "cuda":
+            suffix += f", engine: {args.engine}"
+        suffix += ")"
+    print(f"Tracking mode: {mode_label}{suffix}")
 
     output_path = None
     if args.record:
@@ -409,6 +447,7 @@ def run_tracking(args) -> int:
     print("Tracking...")
     t_start = time.perf_counter()
     frame_iter = source.frames(track_from, limit)
+    chunk_timings: list = []  # (n_frames, seconds) per tracked chunk/frame
     if args.mode == "host":
         # Accelerator-free path: native C++ NCC + host loop (bit-matching
         # trajectories with the device path, tests/test_host.py).
@@ -422,6 +461,7 @@ def run_tracking(args) -> int:
             config,
             lost_count=int(state.lost_count),
             use_global=bool(state.use_global),
+            timings=chunk_timings,
         )
         # numpy leaves keep this mode fully device-free (a jnp constant here
         # would round-trip the TPU relay); TrackerState is dtype-agnostic
@@ -438,15 +478,18 @@ def run_tracking(args) -> int:
             use_global=np.bool_(host_final["use_global"]),
         )
     elif args.mode == "batch":
+        # The engine flag (--fast/--shared/...) composes with --batch=N
+        # instead of being silently dropped; default is the xla engine.
         final, out = track_stream_batched(
             frame_iter, state, source.shape, config,
-            batch_size=args.batch_size, strategy=args.strategy, backend="xla",
+            batch_size=args.batch_size, strategy=args.strategy,
+            backend=args.engine, timings=chunk_timings,
         )
     else:
         final, out = track_stream(
             frame_iter, state, source.shape, config=config,
             strategy=args.strategy, backend=backend,
-            chunk_size=args.chunk_size,
+            chunk_size=args.chunk_size, timings=chunk_timings,
         )
     elapsed = time.perf_counter() - t_start
     n_tracked = len(out.bbox)
@@ -469,9 +512,12 @@ def run_tracking(args) -> int:
             _draw_bbox(first, roi)
             writer.write(first)
         bboxes = np.asarray(out.bbox)
+        # Per-frame FPS overlay like the reference (main.cpp:470-478);
+        # chunk-amortized on the device path, per-frame on the host path.
+        frame_fps = per_frame_fps(chunk_timings, n_tracked, avg_fps)
         for i, frame in enumerate(source.frames(track_from, n_tracked)):
             _draw_bbox(frame, bboxes[i])
-            _draw_fps(frame, avg_fps)
+            _draw_fps(frame, frame_fps[i])
             if writer:
                 writer.write(frame)
             if show:

@@ -155,11 +155,18 @@ def track_stream(
     strategy: str = "fused",
     backend: str = "xla",
     chunk_size: int = 32,
+    timings: Optional[list] = None,
 ):
     """Track a frame stream end to end with decode/compute overlap.
 
     Returns (final_state, StepOutput) like pvot.track_video, but frames are
     decoded and converted concurrently with device tracking.
+
+    timings, when given a list, receives one (n_frames, seconds) pair per
+    chunk in output order — the per-chunk amortized frame rate the CLI
+    burns into recorded frames (the reference burns per-frame tick-delta
+    FPS, tracker_ghc/src/main.cpp:470-478; a scanned chunk is this
+    pipeline's smallest honestly-timeable unit).
     """
     import jax
 
@@ -174,22 +181,41 @@ def track_stream(
     )
     pipe = FramePipeline(frame_iter, frame_shape, chunk_size=chunk_size)
     outs = []
+    # Fetch each chunk's per-frame records eagerly (they are tiny:
+    # bbox/score/flags).  This bounds device-side output memory, is the
+    # natural streaming contract (results arrive as the stream advances),
+    # and avoids the remote-relay worst case where a single end-of-run
+    # fetch must drain the entire enqueued video (measured minutes /
+    # occasional silent process death on the test harness; see
+    # docs/PERFORMANCE.md measurement protocol).  The fetch is async
+    # (copy_to_host_async) and materializes one chunk LATE, so chunk k's
+    # host conversion overlaps chunk k+1's dispatch.
+    pending = None  # (device-sliced leaves, n_real)
+    mark = time.perf_counter()
+
+    def drain(entry):
+        nonlocal mark
+        sliced, n = entry
+        outs.append(jax.tree.map(np.asarray, sliced))
+        now = time.perf_counter()
+        if timings is not None:
+            timings.append((n, now - mark))
+        mark = now
+
     try:
         for chunk, n_real in pipe.chunks():
             valid = np.arange(chunk_size) < n_real
             state, out = scan_fn(
                 state, jax.device_put(chunk), jax.device_put(valid)
             )
-            # Fetch each chunk's per-frame records eagerly (they are tiny:
-            # bbox/score/flags).  This bounds device-side output memory, is
-            # the natural streaming contract (results arrive as the stream
-            # advances), and avoids the remote-relay worst case where a
-            # single end-of-run fetch must drain the entire enqueued video
-            # (measured minutes / occasional silent process death on the
-            # test harness;
-            # see docs/PERFORMANCE.md measurement protocol).
-            host = jax.tree.map(lambda a: np.asarray(a[:n_real]), out)
-            outs.append(host)
+            sliced = jax.tree.map(lambda a: a[:n_real], out)
+            for leaf in jax.tree.leaves(sliced):
+                leaf.copy_to_host_async()
+            if pending is not None:
+                drain(pending)
+            pending = (sliced, n_real)
+        if pending is not None:
+            drain(pending)
     finally:
         pipe.close()
     return state, _stack_outputs(outs)
@@ -204,6 +230,7 @@ def track_stream_batched(
     strategy: str = "fused",
     backend: str = "xla",
     chunks_per_dispatch: int = 8,
+    timings: Optional[list] = None,
 ):
     """Reference-parity batch mode (--batch=N) over a frame stream.
 
@@ -238,6 +265,7 @@ def track_stream_batched(
     pipe = FramePipeline(frame_iter, frame_shape, chunk_size=n * group)
     outs = []
     leftover = 0
+    mark = time.perf_counter()
     try:
         for chunk, n_real in pipe.chunks():
             k_full = n_real // n
@@ -252,6 +280,10 @@ def track_stream_batched(
                 outs.append(
                     jax.tree.map(np.asarray, slice_batch_outputs(out, k_full))
                 )
+                now = time.perf_counter()
+                if timings is not None:
+                    timings.append((k_full * n, now - mark))
+                mark = now
     finally:
         pipe.close()
     if leftover:

@@ -7,7 +7,14 @@ the native C++ engine (pvot/runtime/libpvot.cpp::pvot_ncc_match_f32 — the
 analog of tracker/src/ncc_cpu.cpp; OpenMP + integral images; numpy fallback
 when no toolchain).  This makes pvot usable with no TPU/accelerator at all,
 and serves as an independent second implementation of the tracker
-semantics: tests assert trajectory equality against the scanned JAX path.
+semantics: tests assert trajectory equality against the scanned JAX path on
+every tested/fuzzed clip.  That equality is a measured per-clip property,
+not a structural guarantee — the host converts uint8 via gray_u8_to_f32
+(f64 scale) while the device wire path converts slices via ensure_gray_f32
+(f32 multiply; the two differ by 1 ulp for 126/256 uint8 values), and NCC
+accumulation orders differ (double integral images here vs HIGHEST f32
+matmuls there) — so near-threshold/tie frames could in principle diverge
+on adversarial inputs.  The fuzz tests (tests/test_host.py) are the guard.
 
 Unlike the reference CPU mode (full-frame cv::matchTemplate every frame,
 main.cpp:158), the local search computes NCC only over the clamped window's
@@ -161,10 +168,17 @@ def track_stream_host(
     config: TrackerConfig = TrackerConfig(),
     lost_count: int = 0,
     use_global: bool = False,
+    timings=None,
 ):
     """Streaming host tracking: one frame at a time from an iterator (gray
     u8 (H, W) or BGR u8 (H, W, 3)); memory stays bounded regardless of clip
-    length.  Same return contract as track_video_host."""
+    length.  Same return contract as track_video_host.
+
+    timings, when given a list, receives one (1, seconds) pair per frame —
+    true per-frame instantaneous timing, matching the reference's tick-delta
+    FPS overlay granularity (tracker_ghc/src/main.cpp:470-478)."""
+    import time
+
     from pvot.runtime.native import template_stats_host
 
     template = np.ascontiguousarray(template, np.float32)
@@ -178,6 +192,7 @@ def track_stream_host(
         "use_global": bool(use_global),
     }
     bboxes, scores, used_global, updated = [], [], [], []
+    mark = time.perf_counter()
     for frame in frame_iter:
         frame = np.asarray(frame)
         if frame.ndim == 3:
@@ -188,6 +203,10 @@ def track_stream_host(
             frame[None], final["template"], final["bbox"], config,
             lost_count=final["lost_count"], use_global=final["use_global"],
         )
+        if timings is not None:
+            now = time.perf_counter()
+            timings.append((1, now - mark))
+            mark = now
         bboxes.append(out["bbox"][0])
         scores.append(out["score"][0])
         used_global.append(out["used_global"][0])

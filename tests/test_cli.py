@@ -254,3 +254,203 @@ def test_trajectory_out_json(tmp_path, monkeypatch, capsys):
     assert len(lines[0]["bbox"]) == 4 and lines[0]["updated"] in (True, False)
     assert all(-1.01 <= l["score"] <= 1.01 for l in lines)
     assert any(l["updated"] for l in lines)
+
+
+def test_batch_engine_flag_plumbed(tmp_path, monkeypatch, capsys):
+    """--batch=N composes with an engine flag instead of silently dropping
+    it (round-2 verdict: `--batch=8 --fast` pinned backend="xla")."""
+    args = parse_args(["clip.mp4", "--batch=8", "--fast"])
+    assert args.mode == "batch" and args.batch_size == 8
+    assert args.engine == "fast"
+    args = parse_args(["clip.mp4", "--fast", "--batch=8"])  # order-free
+    assert args.mode == "batch" and args.engine == "fast"
+    args = parse_args(["clip.mp4", "--batch=4"])
+    assert args.engine == "cuda"  # reference default engine
+
+    # The engine must reach the batched scan driver.
+    import pvot.io.pipeline as pipeline
+    from pvot.tracker.state import StepOutput
+
+    seen = {}
+    real = pipeline.track_stream_batched
+
+    def spy(frame_iter, state, shape, config, **kw):
+        seen["backend"] = kw.get("backend")
+        return real(frame_iter, state, shape, config, **kw)
+
+    monkeypatch.setattr(pipeline, "track_stream_batched", spy)
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("DISPLAY", raising=False)
+    rc = main([
+        "--synthetic", "320x240x8", "--first", "--roi", "144,104,32,32",
+        "--batch=2", "--fast",
+    ])
+    assert rc == 0
+    assert seen["backend"] == "fast"
+    assert "engine: fast" in capsys.readouterr().out
+
+    # --host has no batch driver: explicit error, not silent fallback.
+    with pytest.raises(SystemExit) as e:
+        parse_args(["clip.mp4", "--batch=4", "--host"])
+    assert e.value.code == 2
+
+
+def test_batch_engine_resolves_in_scan_backend():
+    """make_batched_scan_fn resolves the 'fast' engine to the xla_fast
+    backend (precision=HIGH region matmul) rather than erroring."""
+    from pvot.config import TrackerConfig
+    from pvot.tracker.scan import make_batched_scan_fn
+
+    fn = make_batched_scan_fn(
+        (120, 160), (16, 16), TrackerConfig(search_radius_x=10,
+                                            search_radius_y=10),
+        batch_size=2, backend="fast",
+    )
+    assert callable(fn)
+
+
+def test_per_frame_fps_expansion():
+    """per_frame_fps spreads chunk timings over their frames and falls back
+    to the run average for uncovered frames."""
+    from pvot.cli.main import per_frame_fps
+
+    fps = per_frame_fps([(2, 1.0), (2, 0.5)], 6, fallback=7.0)
+    np.testing.assert_allclose(fps, [2.0, 2.0, 4.0, 4.0, 7.0, 7.0])
+    # Zero-duration chunks (clock quantum) fall back rather than inf.
+    fps = per_frame_fps([(3, 0.0)], 3, fallback=9.0)
+    np.testing.assert_allclose(fps, [9.0, 9.0, 9.0])
+    # Timings longer than the run are clipped.
+    fps = per_frame_fps([(10, 1.0)], 2, fallback=1.0)
+    np.testing.assert_allclose(fps, [10.0, 10.0])
+
+
+def test_record_overlay_uses_per_frame_fps(tmp_path, monkeypatch):
+    """The recorded overlay burns per-chunk FPS, not the run average
+    (reference burns per-frame tick-delta FPS, main.cpp:470-478): with
+    controlled chunk timings, overlay values must differ across frames."""
+    import pvot.cli.main as cli
+    import pvot.io.pipeline as pipeline
+    from pvot.tracker.state import StepOutput
+
+    def fake_track_stream(frame_iter, state, shape, timings=None, **kw):
+        for _ in frame_iter:
+            pass
+        n = 6
+        if timings is not None:
+            timings.extend([(3, 0.5), (3, 0.1)])  # 6 vs 30 FPS chunks
+        out = StepOutput(
+            bbox=np.tile(np.array([[144, 104, 32, 32]], np.int32), (n, 1)),
+            score=np.full((n,), 0.9, np.float32),
+            used_global=np.zeros((n,), bool),
+            updated=np.ones((n,), bool),
+        )
+        return state, out
+
+    drawn = []
+    monkeypatch.setattr(pipeline, "track_stream", fake_track_stream)
+    monkeypatch.setattr(cli, "_draw_fps", lambda f, fps: drawn.append(fps))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("DISPLAY", raising=False)
+    rc = main([
+        "--synthetic", "320x240x7", "--first", "--roi", "144,104,32,32",
+        "--record", "--output", str(tmp_path / "o.avi"),
+    ])
+    assert rc == 0
+    assert len(drawn) == 6
+    np.testing.assert_allclose(drawn[:3], 6.0)
+    np.testing.assert_allclose(drawn[3:], 30.0)
+    assert drawn[0] != drawn[-1]  # overlay varies when frame times differ
+
+
+class _FakeCv2Gui:
+    """Monkeypatched cv2 GUI surface: scripted waitKey keys + selectROI."""
+
+    def __init__(self, monkeypatch, keys, roi=(10, 10, 24, 24)):
+        import cv2
+
+        self.shown = []
+        self.keys = list(keys)
+        self.roi = roi
+        monkeypatch.setattr(cv2, "namedWindow", lambda *a, **k: None)
+        monkeypatch.setattr(cv2, "destroyWindow", lambda *a, **k: None)
+        monkeypatch.setattr(cv2, "imshow",
+                            lambda name, img: self.shown.append(img.copy()))
+        monkeypatch.setattr(cv2, "waitKey",
+                            lambda ms=0: self.keys.pop(0) if self.keys else -1)
+        monkeypatch.setattr(cv2, "selectROI",
+                            lambda name, img, *a, **k: self.roi)
+
+
+def _gui_args(extra=()):
+    args = parse_args(["--synthetic", "160x120x6", *extra])
+    return args
+
+
+def test_gui_preview_enter_selects_frame(monkeypatch):
+    """Preview browser: ENTER picks the currently shown frame as the
+    template source (main.cpp:295-312)."""
+    from pvot.cli.main import FrameSource, _select_roi
+
+    monkeypatch.setenv("DISPLAY", ":0")
+    gui = _FakeCv2Gui(monkeypatch, keys=[-1, -1, 13])  # 2 skips, ENTER
+    args = _gui_args()
+    source = FrameSource(args)
+    start, roi, frame = _select_roi(args, source)
+    assert start == 2  # third previewed frame selected
+    assert roi == (10, 10, 24, 24)
+    assert len(gui.shown) == 3
+    np.testing.assert_array_equal(frame, source.nth_frame(2))
+
+
+def test_gui_preview_esc_quits(monkeypatch, capsys):
+    """ESC in the preview browser exits cleanly (main.cpp:303-306)."""
+    from pvot.cli.main import FrameSource, _select_roi
+
+    monkeypatch.setenv("DISPLAY", ":0")
+    _FakeCv2Gui(monkeypatch, keys=[-1, 27])
+    args = _gui_args()
+    with pytest.raises(SystemExit) as e:
+        _select_roi(args, FrameSource(args))
+    assert e.value.code == 0
+    assert "cancelled" in capsys.readouterr().out
+
+
+def test_gui_preview_end_of_video(monkeypatch, capsys):
+    """Reaching end of video without ENTER exits with an error
+    (main.cpp:297-300)."""
+    from pvot.cli.main import FrameSource, _select_roi
+
+    monkeypatch.setenv("DISPLAY", ":0")
+    _FakeCv2Gui(monkeypatch, keys=[])  # every waitKey returns -1
+    args = _gui_args()
+    with pytest.raises(SystemExit) as e:
+        _select_roi(args, FrameSource(args))
+    assert e.value.code == -1
+    assert "End of Video" in capsys.readouterr().err
+
+
+def test_gui_selectroi_cancel(monkeypatch, capsys):
+    """A cancelled selectROI (zero-size box) exits like the reference
+    (main.cpp:317-321)."""
+    from pvot.cli.main import FrameSource, _select_roi
+
+    monkeypatch.setenv("DISPLAY", ":0")
+    _FakeCv2Gui(monkeypatch, keys=[], roi=(0, 0, 0, 0))
+    args = _gui_args(["--first"])  # skip the preview browser
+    with pytest.raises(SystemExit) as e:
+        _select_roi(args, FrameSource(args))
+    assert e.value.code == -1
+    assert "No template selected" in capsys.readouterr().err
+
+
+def test_gui_live_tracking_window(tmp_path, monkeypatch, capsys):
+    """The interactive (non-record) display arm drives imshow per tracked
+    frame through the GUI stubs (demo_tracker analog, main.cpp:250-261)."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("DISPLAY", ":0")
+    gui = _FakeCv2Gui(monkeypatch, keys=[13])  # ENTER on first preview frame
+    rc = main(["--synthetic", "320x240x8", "--roi", "144,104,32,32",
+               "--chunk-size", "4"])
+    assert rc == 0
+    # 7 tracked frames displayed (waitKey -1 after the scripted ENTER).
+    assert len(gui.shown) == 7
