@@ -22,15 +22,20 @@ equivalents (SURVEY.md §2e):
   --batch=N           any + batching     leading frame axis (vmap) — see
                                          pvot.tracker.scan
 
-Every backend provides (full_fn, region_fn):
+Every backend provides (full_fn, region_fn, region_argmax_fn):
   full_fn(frame, templ, t_mean, t_std) -> full NCC map (global search/parity)
   region_fn(frame, templ, t_mean, t_std, x0, y0) -> fixed-size candidate
       region scores (the fused local fast path)
+  region_argmax_fn(frame, templ, t_mean, t_std, x0, y0, bounds)
+      -> (best_val, x, y), or None.  When present (the Pallas engine), the
+      window masking + argmax + reduction happen INSIDE the kernel and only
+      the three scalars leave the chip (SURVEY.md §7 step 4's north star);
+      the tracker step then skips region_fn + masked_region_argmax.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 from pvot.config import TrackerConfig
 from pvot.ops.ncc_reference import ncc_map_reference
@@ -89,8 +94,8 @@ def get_backend(
     frame_shape: Tuple[int, int],
     templ_shape: Tuple[int, int],
     config: TrackerConfig,
-) -> Tuple[Callable, Callable]:
-    """Resolve a backend name to (full_fn, region_fn)."""
+) -> Tuple[Callable, Callable, Optional[Callable]]:
+    """Resolve a backend name to (full_fn, region_fn, region_argmax_fn)."""
     span_x = 2 * config.search_radius_x + 1
     span_y = 2 * config.search_radius_y + 1
     name = MODE_TO_BACKEND.get(name, name)
@@ -100,7 +105,7 @@ def get_backend(
         # means "XLA ops arranged the TPU way", not "naive conv".
         from pvot.ops.ncc_matmul import make_full_fn, make_region_fn
 
-        return make_full_fn(strip_rows=128), make_region_fn(span_x, span_y)
+        return make_full_fn(strip_rows=128), make_region_fn(span_x, span_y), None
     if name == "xla_fast":
         from jax import lax
 
@@ -109,45 +114,58 @@ def get_backend(
         return (
             make_full_fn(strip_rows=128),
             make_region_fn(span_x, span_y, precision=lax.Precision.HIGH),
+            None,
         )
     if name == "ref_conv":
-        return ncc_map_reference, step_mod.default_region_fn(span_x, span_y)
+        return ncc_map_reference, step_mod.default_region_fn(span_x, span_y), None
     if name == "cpu":
         from pvot.ops.ncc_matmul import make_opencv_full_fn, make_opencv_region_fn
 
         return (
             make_opencv_full_fn(strip_rows=128),
             make_opencv_region_fn(span_x, span_y),
+            None,
         )
     if name == "auto":
         if prefer_pallas(templ_shape, span_x, span_y):
             from pvot.ops.ncc_pallas import (
                 pallas_full_fn,
+                pallas_region_argmax_fn,
                 pallas_region_fn,
                 pallas_supported,
             )
 
-            if pallas_supported():
+            # Probe at the geometry this backend will serve (round-2
+            # verdict: a tiny-geometry probe passes while large-geometry
+            # Mosaic/VMEM failures explode mid-run).
+            if pallas_supported(frame_shape, templ_shape, (span_y, span_x)):
                 return (
                     pallas_full_fn(frame_shape, templ_shape),
                     pallas_region_fn(frame_shape, templ_shape, (span_y, span_x)),
+                    pallas_region_argmax_fn(
+                        frame_shape, templ_shape, (span_y, span_x)
+                    ),
                 )
         return get_backend("xla_fast", frame_shape, templ_shape, config)
     if name == "pallas":
         from pvot.ops.ncc_pallas import (
             pallas_full_fn,
+            pallas_region_argmax_fn,
             pallas_region_fn,
             pallas_supported,
         )
 
-        if pallas_supported():
+        if pallas_supported(frame_shape, templ_shape, (span_y, span_x)):
             return (
                 pallas_full_fn(frame_shape, templ_shape),
                 pallas_region_fn(frame_shape, templ_shape, (span_y, span_x)),
+                pallas_region_argmax_fn(
+                    frame_shape, templ_shape, (span_y, span_x)
+                ),
             )
         # Graceful fallback (see pallas_supported): same math, MXU matmul
         # formulation.
         from pvot.ops.ncc_matmul import make_full_fn, make_region_fn
 
-        return make_full_fn(strip_rows=128), make_region_fn(span_x, span_y)
+        return make_full_fn(strip_rows=128), make_region_fn(span_x, span_y), None
     raise ValueError(f"unknown NCC backend: {name!r}")

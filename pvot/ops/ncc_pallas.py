@@ -60,6 +60,45 @@ def _dot_f32(a, b):
     )
 
 
+def _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty):
+    """Compute this grid step's (ty, TX) NCC score tile from VMEM refs.
+
+    Shared by _ncc_kernel (writes the tile to the output map) and
+    _ncc_argmax_kernel (reduces it on-chip so only (val, idx) leaves).
+    See _ncc_kernel's docstring for the aligned-window MXU formulation and
+    the Mosaic-constraint rationale.
+    """
+    i = pl.program_id(0)
+    tx0 = pl.program_id(1) * TX
+    tile_lanes = _round_up(TX + tw - 1, 128)
+    k_blocks = -(-th // 8)
+
+    acc = jnp.zeros((ty, TX), jnp.float32)
+    bsum = jnp.zeros((ty, tile_lanes), jnp.float32)
+    bsq = jnp.zeros((ty, tile_lanes), jnp.float32)
+    for k in range(k_blocks):  # static unroll
+        w = img_ref[pl.ds(ty * i + 8 * k, ty + 8), pl.ds(tx0, tile_lanes)]
+        wsq = w * w
+        t1 = _dot_f32(w, toep_ref[pl.ds(k * tile_lanes, tile_lanes), :])
+        for p in range(8):
+            if 8 * k + p >= th:  # zero-padded template rows: skip statically
+                break
+            acc = acc + t1[p : p + ty, p * TX : (p + 1) * TX]
+            bsum = bsum + w[p : p + ty, :]
+            bsq = bsq + wsq[p : p + ty, :]
+    acc_sum = _dot_f32(bsum, box_ref[:, :])
+    acc_ssq = _dot_f32(bsq, box_ref[:, :])
+
+    t_std_in = scal_ref[0, 1]
+    sum_tc = scal_ref[0, 2]
+    n = scal_ref[0, 3]
+    mean = acc_sum / n
+    var = acc_ssq / n - mean * mean
+    std = jnp.sqrt(jnp.maximum(var, 1e-6))
+    cov = acc - mean * sum_tc  # centered-template correction
+    return cov / ((std + 1e-6) * (t_std_in + 1e-6) * n)
+
+
 def _ncc_kernel(
     img_ref,  # (imgH_pad, imgW_pad) f32, image (strip) in VMEM
     toep_ref,  # (K * tile_lanes, 8 * TX) f32: phase-concatenated Toeplitz
@@ -108,35 +147,57 @@ def _ncc_kernel(
     division, traced rolls under nested fori, cross-grid-step ref
     accumulation, jnp.dot inside fori_loop.
     """
+    out_ref[:, :] = _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty)
+
+
+def _ncc_argmax_kernel(
+    img_ref,  # (imgH_pad, imgW_pad) f32, candidate region in VMEM
+    toep_ref,  # (K * tile_lanes, 8 * TX) f32: phase-concatenated Toeplitz
+    box_ref,  # (tile_lanes, TX) f32: ones-row Toeplitz (box sums)
+    scal_ref,  # (1, 4) f32 SMEM: [t_mean_unused, t_std_in, sum_tc, n]
+    win_ref,  # (1, 4) i32 SMEM: region-relative window [rx0, rx1, ry0, ry1]
+    val_ref,  # (8, TX) f32: this tile's masked max, broadcast
+    idx_ref,  # (8, TX) i32: its first-occurrence flat index, broadcast
+    *,
+    th: int,
+    tw: int,
+    ty: int,
+):
+    """The north-star fused reduction (SURVEY.md §7 step 4): NCC scores,
+    window masking, and the cv::minMaxLoc-compatible argmax all happen
+    on-chip; only (best_val, flat_idx) leaves the kernel — the score map
+    never touches HBM.
+
+    Masking replicates pvot.ops.search.masked_region_argmax: positions
+    outside the clamped window (given region-relative, inclusive) score
+    -inf.  Tie-break is row-major first occurrence over GLOBAL region
+    coordinates: flat = dy * (gw*TX) + dx is strictly increasing in
+    (dy, dx) row-major, so min-of-candidates == first occurrence, including
+    across grid tiles (the caller reduces per-tile partials with the same
+    rule).  An all-masked tile yields (-inf, 0) and is discarded either by
+    the cross-tile combine or — for a collapsed window — by the tracker
+    step, which routes collapsed windows to global search
+    (tracker_ghc/src/main.cpp:439-446 semantics).
+    """
     i = pl.program_id(0)
-    tx0 = pl.program_id(1) * TX
-    tile_lanes = _round_up(TX + tw - 1, 128)
-    k_blocks = -(-th // 8)
-
-    acc = jnp.zeros((ty, TX), jnp.float32)
-    bsum = jnp.zeros((ty, tile_lanes), jnp.float32)
-    bsq = jnp.zeros((ty, tile_lanes), jnp.float32)
-    for k in range(k_blocks):  # static unroll
-        w = img_ref[pl.ds(ty * i + 8 * k, ty + 8), pl.ds(tx0, tile_lanes)]
-        wsq = w * w
-        t1 = _dot_f32(w, toep_ref[pl.ds(k * tile_lanes, tile_lanes), :])
-        for p in range(8):
-            if 8 * k + p >= th:  # zero-padded template rows: skip statically
-                break
-            acc = acc + t1[p : p + ty, p * TX : (p + 1) * TX]
-            bsum = bsum + w[p : p + ty, :]
-            bsq = bsq + wsq[p : p + ty, :]
-    acc_sum = _dot_f32(bsum, box_ref[:, :])
-    acc_ssq = _dot_f32(bsq, box_ref[:, :])
-
-    t_std_in = scal_ref[0, 1]
-    sum_tc = scal_ref[0, 2]
-    n = scal_ref[0, 3]
-    mean = acc_sum / n
-    var = acc_ssq / n - mean * mean
-    std = jnp.sqrt(jnp.maximum(var, 1e-6))
-    cov = acc - mean * sum_tc  # centered-template correction
-    out_ref[:, :] = cov / ((std + 1e-6) * (t_std_in + 1e-6) * n)
+    j = pl.program_id(1)
+    gw = pl.num_programs(1)
+    s = _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty)
+    dy = ty * i + lax.broadcasted_iota(jnp.int32, (ty, TX), 0)
+    dx = TX * j + lax.broadcasted_iota(jnp.int32, (ty, TX), 1)
+    mask = (
+        (dx >= win_ref[0, 0])
+        & (dx <= win_ref[0, 1])
+        & (dy >= win_ref[0, 2])
+        & (dy <= win_ref[0, 3])
+    )
+    masked = jnp.where(mask, s, -jnp.inf)
+    m = jnp.max(masked)
+    flat = dy * (gw * TX) + dx
+    cand = jnp.where(masked == m, flat, jnp.int32(2**30))
+    idx = jnp.min(cand)
+    val_ref[:, :] = jnp.full((8, TX), m, jnp.float32)
+    idx_ref[:, :] = jnp.full((8, TX), idx, jnp.int32)
 
 
 def _toeplitz_operators(t_centered: jax.Array, tile_lanes: int):
@@ -312,6 +373,125 @@ def ncc_map_pallas(
     return one_strip(img)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("th", "tw", "ty", "interpret")
+)
+def _ncc_argmax_padded(
+    img_pad: jax.Array,
+    toep: jax.Array,
+    scalars: jax.Array,
+    win: jax.Array,
+    th: int,
+    tw: int,
+    ty: int,
+    interpret: bool = False,
+):
+    """Fused score+argmax over a padded candidate region.
+
+    Same padding contract as _ncc_pallas_padded; returns per-tile partials
+    (vals (gh, gw) f32 broadcast into (gh*8, gw*TX) blocks, idxs i32)."""
+    tile_lanes = _round_up(TX + tw - 1, 128)
+    k_blocks = -(-th // 8)
+    gh = (img_pad.shape[0] - 8 * k_blocks) // ty
+    gw = (img_pad.shape[1] - tile_lanes) // TX + 1
+    box = jnp.asarray(_box_operator(tile_lanes, tw))
+    kernel = functools.partial(_ncc_argmax_kernel, th=th, tw=tw, ty=ty)
+    vmem_budget = (
+        4 * (img_pad.size + toep.size + box.size)
+        + 4 * (ty + 8) * (8 * TX) * (k_blocks + 2)
+        + 8 * 1024 * 1024
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((gh * 8, gw * TX), jnp.float32),
+            jax.ShapeDtypeStruct((gh * 8, gw * TX), jnp.int32),
+        ),
+        grid=(gh, gw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TX), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
+        interpret=interpret,
+    )(img_pad, toep, box, scalars, win)
+
+
+def ncc_region_argmax_pallas(
+    region: jax.Array,
+    templ: jax.Array,
+    bounds,
+    x0: jax.Array,
+    y0: jax.Array,
+    t_mean: jax.Array | None = None,
+    t_std: jax.Array | None = None,
+    interpret: bool = False,
+):
+    """Fused local-search scorer+argmax: returns ONLY (best_val, x, y).
+
+    Drop-in replacement for region_fn + pvot.ops.search.masked_region_argmax
+    (identical semantics incl. row-major first-occurrence tie-break), with
+    the score map never leaving the chip — the reduction the reference's
+    kernel ladder stops short of (baseline_kernel.cu:185-252 ends at the
+    tiled map write; cv::minMaxLoc runs on host, main.cpp:436).
+
+    region (span_y + th - 1, span_x + tw - 1) u8/f32; bounds a WindowBounds
+    in MAP coordinates; (x0, y0) the region origin in map coordinates.
+    """
+    from pvot.io.gray import ensure_gray_f32
+
+    region = ensure_gray_f32(region)
+    templ = templ.astype(jnp.float32)
+    if t_mean is None or t_std is None:
+        t_mean, t_std = template_stats(templ)
+    th, tw = templ.shape
+    h, w = region.shape
+    span_y, span_x = h - th + 1, w - tw + 1
+    tile_lanes = _round_up(TX + tw - 1, 128)
+    k_blocks = -(-th // 8)
+
+    t_centered = templ - t_mean
+    toep = _toeplitz_operators(t_centered, tile_lanes)
+    scalars = jnp.stack(
+        [t_mean, t_std, jnp.sum(t_centered), jnp.float32(th * tw)]
+    ).reshape(1, 4)
+    win = jnp.stack(
+        [
+            bounds.min_tx - x0,
+            bounds.max_tx - x0,
+            bounds.min_ty - y0,
+            bounds.max_ty - y0,
+        ]
+    ).astype(jnp.int32).reshape(1, 4)
+
+    ty = min(128, _round_up(span_y, 8))
+    gh = _round_up(span_y, ty) // ty
+    gw = _round_up(span_x, TX) // TX
+    img_pad = jnp.pad(
+        region,
+        ((0, ty * gh + 8 * k_blocks - h), (0, (gw - 1) * TX + tile_lanes - w)),
+    )
+    vals, idxs = _ncc_argmax_padded(
+        img_pad, toep, scalars, win, th, tw, ty, interpret
+    )
+    # Per-tile partials -> global (val, x, y); same tie-break rule (the flat
+    # index is row-major over global region coordinates).
+    v = vals.reshape(gh, 8, gw, TX)[:, 0, :, 0]
+    ix = idxs.reshape(gh, 8, gw, TX)[:, 0, :, 0]
+    m = jnp.max(v)
+    flat = jnp.min(jnp.where(v == m, ix, jnp.int32(2**30)))
+    ry = flat // (gw * TX)
+    rx = flat % (gw * TX)
+    return m, x0 + rx.astype(jnp.int32), y0 + ry.astype(jnp.int32)
+
+
 def ncc_map_pallas_batched(
     frames: jax.Array, templ: jax.Array, interpret: bool = False
 ) -> jax.Array:
@@ -326,33 +506,100 @@ def ncc_map_pallas_batched(
 _SUPPORT_CACHE: dict = {}
 
 
-def pallas_supported(probe_shape=(64, 256), templ_shape=(8, 8)) -> bool:
+def _probe_one(img_shape, templ_shape, seed: int = 0) -> None:
+    """Compile + numerics check of the fused kernel at EXACTLY this
+    geometry; raises on failure (caller records the verdict)."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    img = jnp.asarray(rng.random(img_shape, dtype=_np.float32))
+    templ = jnp.asarray(rng.random(templ_shape, dtype=_np.float32))
+    got = ncc_map_pallas(img, templ)
+    from pvot.ops.ncc_matmul import ncc_map_matmul
+
+    want = ncc_map_matmul(img, templ)
+    err = float(jnp.max(jnp.abs(got - want)))
+    if not err < 1e-3:  # also rejects NaN
+        raise ValueError(
+            f"numerics: max abs err {err} at {img_shape}/{templ_shape}"
+        )
+
+
+def _probe_argmax(templ_shape, span_shape, seed: int = 0) -> None:
+    """Compile + numerics check of the fused argmax kernel at the served
+    region geometry; raises on failure."""
+    import numpy as _np
+
+    from pvot.ops.ncc_matmul import ncc_map_matmul
+    from pvot.ops.search import WindowBounds, masked_region_argmax
+
+    rng = _np.random.default_rng(seed)
+    th, tw = templ_shape
+    span_y, span_x = span_shape
+    region = jnp.asarray(
+        rng.random((span_y + th - 1, span_x + tw - 1), dtype=_np.float32)
+    )
+    templ = jnp.asarray(rng.random(templ_shape, dtype=_np.float32))
+    x0, y0 = jnp.int32(3), jnp.int32(5)
+    bounds = WindowBounds(
+        x0 + 1, x0 + span_x - 2, y0 + 2, y0 + span_y - 1
+    )
+    want = masked_region_argmax(ncc_map_matmul(region, templ), x0, y0, bounds)
+    got = ncc_region_argmax_pallas(region, templ, bounds, x0, y0)
+    if not (
+        abs(float(got[0]) - float(want[0])) < 1e-3
+        and int(got[1]) == int(want[1])
+        and int(got[2]) == int(want[2])
+    ):
+        raise ValueError(
+            f"fused argmax mismatch at {templ_shape}/{span_shape}: "
+            f"{[float(got[0]), int(got[1]), int(got[2])]} vs "
+            f"{[float(want[0]), int(want[1]), int(want[2])]}"
+        )
+
+
+def pallas_supported(
+    frame_shape=None,
+    templ_shape=None,
+    span_shape=None,
+    strip_rows: int = 256,
+) -> bool:
     """Probe whether the fused kernel compiles AND computes correctly on the
-    current backend.
+    current backend — at the geometry it will actually serve.
 
     Needed because this build environment tunnels to a remote TPU whose
     Mosaic build is months older than the client (libtpu version skew):
     several valid kernels fail its compile helper with an opaque HTTP 500,
     and some pltpu.roll patterns compile but return wrong values.  The probe
-    checks numerics against the oracle, not just compilation.
+    checks numerics against the oracle, not just compilation — and it is
+    keyed/evaluated PER GEOMETRY (round-2 verdict: an 8x8/64x256 smoke probe
+    would pass while an 80x80/720p VMEM or Mosaic failure exploded mid-run).
+
+    With no arguments this is the cheap smoke probe (8x8 template on a
+    64x256 image).  Given (frame_shape, templ_shape[, span_shape]) it
+    additionally compiles and checks:
+      * the fused local-search region geometry (span + templ - 1), and
+      * one full-map strip geometry (min(out rows, strip_rows) + th - 1, W)
+        — the shape the global-search/full path dispatches.
+    Probe compiles hit the persistent compile cache on re-runs, and they
+    are the same programs production would compile at first use anyway.
     """
-    key = (jax.default_backend(), probe_shape, templ_shape)
+    key = (jax.default_backend(), frame_shape, templ_shape, span_shape)
     if key not in _SUPPORT_CACHE:
         try:
-            import numpy as _np
-
-            rng = _np.random.default_rng(0)
-            img = jnp.asarray(rng.random(probe_shape, dtype=_np.float32))
-            templ = jnp.asarray(rng.random(templ_shape, dtype=_np.float32))
-            got = ncc_map_pallas(img, templ)
-            from pvot.ops.ncc_matmul import ncc_map_matmul
-
-            want = ncc_map_matmul(img, templ)
-            err = float(jnp.max(jnp.abs(got - want)))
-            ok = err < 1e-3
-            if not ok:
-                _SUPPORT_CACHE["last_error"] = f"numerics: max abs err {err}"
-        except Exception as e:  # stash for diagnosis (tools/pallas_probe.py)
+            _probe_one((64, 256), (8, 8))  # smoke: kernel works at all
+            if templ_shape is not None:
+                th, tw = templ_shape
+                if span_shape is not None:
+                    span_y, span_x = span_shape
+                    _probe_one((span_y + th - 1, span_x + tw - 1), templ_shape)
+                    _probe_argmax(templ_shape, span_shape)
+                if frame_shape is not None:
+                    fh, fw = frame_shape
+                    rows = min(fh - th + 1, strip_rows) + th - 1
+                    _probe_one((rows, fw), templ_shape)
+            ok = True
+        except Exception:  # stash for diagnosis (tools/pallas_probe.py)
             import traceback
 
             _SUPPORT_CACHE["last_error"] = traceback.format_exc()
@@ -361,9 +608,11 @@ def pallas_supported(probe_shape=(64, 256), templ_shape=(8, 8)) -> bool:
             import sys
 
             print(
-                "pvot: Pallas NCC kernel unavailable on this backend "
-                "(Mosaic compile/numerics probe failed); --shared/--const/"
-                "--const_tiled fall back to the MXU matmul formulation",
+                "pvot: Pallas NCC kernel unavailable on this backend at "
+                f"geometry frame={frame_shape} templ={templ_shape} "
+                f"span={span_shape} (Mosaic compile/numerics probe failed); "
+                "--shared/--const/--const_tiled fall back to the MXU matmul "
+                "formulation",
                 file=sys.stderr,
             )
         _SUPPORT_CACHE[key] = ok
@@ -396,3 +645,27 @@ def pallas_region_fn(
         return ncc_map_pallas(region, templ, t_mean, t_std)
 
     return region_fn
+
+
+def pallas_region_argmax_fn(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    span_shape: Tuple[int, int],
+):
+    """Backend adapter: fused region scorer + on-chip masked argmax.
+
+    (frame, templ, t_mean, t_std, x0, y0, bounds) -> (best_val, x, y) in map
+    coordinates — replaces region_fn + search.masked_region_argmax with the
+    score map never leaving the chip."""
+    span_y, span_x = span_shape
+
+    def region_argmax_fn(frame, templ, t_mean, t_std, x0, y0, bounds):
+        th, tw = templ.shape
+        region = lax.dynamic_slice(
+            frame, (y0, x0), (span_y + th - 1, span_x + tw - 1)
+        )
+        return ncc_region_argmax_pallas(
+            region, templ, bounds, x0, y0, t_mean, t_std
+        )
+
+    return region_argmax_fn

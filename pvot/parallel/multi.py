@@ -70,7 +70,7 @@ def make_multi_step(
     from pvot.tracker.state import is_bbox_outside_frame
     from pvot.tracker.step import apply_update
 
-    full_fn, region_fn = get_backend(backend, frame_shape, templ_shape, config)
+    full_fn, region_fn, _argmax_fn = get_backend(backend, frame_shape, templ_shape, config)
     frame_h, frame_w = frame_shape
     templ_h, templ_w = templ_shape
     out_w = frame_w - templ_w + 1

@@ -79,10 +79,13 @@ def _cached_masked_scan(frame_shape, templ_shape, config, strategy, backend,
     if fn is None:
         from pvot.ops.backends import get_backend
 
-        full_fn, region_fn = get_backend(backend, frame_shape, templ_shape, config)
+        full_fn, region_fn, argmax_fn = get_backend(
+            backend, frame_shape, templ_shape, config
+        )
         step = make_step(
             frame_shape, templ_shape, config,
             ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
+            ncc_region_argmax_fn=argmax_fn,
         )
         # No donation: the state is tiny (the template dominates at ~25 KB)
         # and donating would invalidate a caller's initial state if they
@@ -223,10 +226,13 @@ def make_batched_scan_fn(
     (pvot.io.pipeline.track_stream_batched)."""
     from pvot.ops.backends import get_backend
 
-    full_fn, region_fn = get_backend(backend, frame_shape, templ_shape, config)
+    full_fn, region_fn, argmax_fn = get_backend(
+        backend, frame_shape, templ_shape, config
+    )
     step = make_step(
         frame_shape, templ_shape, config,
         ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
+        ncc_region_argmax_fn=argmax_fn,
     )
     batch_step = make_batch_step(step, batch_size)
 

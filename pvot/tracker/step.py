@@ -76,6 +76,7 @@ def make_step(
     ncc_full_fn: Optional[NccFullFn] = None,
     ncc_region_fn: Optional[NccRegionFn] = None,
     strategy: str = "fused",
+    ncc_region_argmax_fn: Optional[Callable] = None,
 ) -> Callable[[TrackerState, jax.Array], Tuple[TrackerState, StepOutput]]:
     """Build the per-frame step for fixed frame/template geometry.
 
@@ -88,6 +89,11 @@ def make_step(
     ncc_full_fn / ncc_region_fn default to the MXU matmul formulation
     (pvot.ops.ncc_matmul) — the only NCC implementation that reaches the MXU
     on TPU.  The conv-based oracle stays available explicitly.
+
+    ncc_region_argmax_fn, when given (the Pallas engine provides one),
+    replaces region_fn + masked_region_argmax on the fused local path: the
+    kernel reduces scores to (best_val, x, y) on-chip with identical masking
+    and tie-break semantics, and the score map never reaches HBM.
     """
     frame_h, frame_w = frame_shape
     templ_h, templ_w = templ_shape
@@ -159,8 +165,18 @@ def make_step(
             x0, y0 = search_ops.region_origin(bounds, out_w, out_h, span_x, span_y)
             # region_fn slices its region out of the raw frame and converts
             # the slice (see _ensure_f32).
-            scores = ncc_region_fn(frame, state.template, state.t_mean, state.t_std, x0, y0)
-            l_val, l_x, l_y = search_ops.masked_region_argmax(scores, x0, y0, bounds)
+            if ncc_region_argmax_fn is not None:
+                l_val, l_x, l_y = ncc_region_argmax_fn(
+                    frame, state.template, state.t_mean, state.t_std,
+                    x0, y0, bounds,
+                )
+            else:
+                scores = ncc_region_fn(
+                    frame, state.template, state.t_mean, state.t_std, x0, y0
+                )
+                l_val, l_x, l_y = search_ops.masked_region_argmax(
+                    scores, x0, y0, bounds
+                )
 
             def do_global(frame):
                 ncc_map = ncc_full_fn(
@@ -266,9 +282,12 @@ def jitted_step(
     for backend names).  No donation: callers may keep the input state."""
     from pvot.ops.backends import get_backend
 
-    full_fn, region_fn = get_backend(backend, frame_shape, templ_shape, config)
+    full_fn, region_fn, argmax_fn = get_backend(
+        backend, frame_shape, templ_shape, config
+    )
     step = make_step(
         frame_shape, templ_shape, config,
         ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
+        ncc_region_argmax_fn=argmax_fn,
     )
     return jax.jit(step)

@@ -136,7 +136,7 @@ def test_backend_registry_covers_reference_modes(rng):
     for mode in ("cuda", "naive", "xla", "shared", "const", "const_tiled",
                  "batch", "ref_conv", "fast", "xla_fast", "auto"):
         assert mode in MODE_TO_BACKEND
-        full_fn, region_fn = get_backend(mode, (48, 64), (8, 8), cfg)
+        full_fn, region_fn, _ = get_backend(mode, (48, 64), (8, 8), cfg)
         got = np.asarray(full_fn(frame, templ, t_mean, t_std))
         np.testing.assert_allclose(got, want, atol=5e-5, err_msg=mode)
         reg = np.asarray(
@@ -144,7 +144,7 @@ def test_backend_registry_covers_reference_modes(rng):
         )
         np.testing.assert_allclose(reg, want[7:20, 5:18], atol=5e-5, err_msg=mode)
     # cpu mode normalizes differently (TM_CCOEFF_NORMED) but must run.
-    full_fn, region_fn = get_backend("cpu", (48, 64), (8, 8), cfg)
+    full_fn, region_fn, _ = get_backend("cpu", (48, 64), (8, 8), cfg)
     assert np.asarray(full_fn(frame, templ, t_mean, t_std)).shape == want.shape
 
 
@@ -165,7 +165,7 @@ def test_uint8_wire_dtype_matches_f32(rng):
     templ = frame_f32[10:18, 20:28]
     t_mean, t_std = template_stats(templ)
     for mode in sorted(set(MODE_TO_BACKEND.values())):
-        full_fn, region_fn = get_backend(mode, (48, 64), (8, 8), cfg)
+        full_fn, region_fn, _ = get_backend(mode, (48, 64), (8, 8), cfg)
         a = np.asarray(full_fn(frame_u8, templ, t_mean, t_std))
         b = np.asarray(full_fn(frame_f32, templ, t_mean, t_std))
         np.testing.assert_array_equal(a, b, err_msg=mode)

@@ -90,3 +90,149 @@ def test_pallas_tall_strip_big_tile(rng):
     )
     want = np.asarray(ncc_map_reference(jnp.asarray(frame), jnp.asarray(templ)))
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_geometry_keyed_probe_falls_back_gracefully(monkeypatch):
+    """A kernel that works at the tiny smoke geometry but fails at the
+    served geometry must be caught by the probe and fall back to the matmul
+    engine — the round-2 failure mode: the 8x8/64x256 probe passed while an
+    80x80/720p Mosaic/VMEM failure would explode mid-run.  The probe cache
+    is keyed per geometry, so a big-geometry refusal does not poison the
+    small-geometry verdict."""
+    import pvot.ops.ncc_pallas as npz
+    from pvot.config import TrackerConfig
+    from pvot.ops.backends import get_backend
+
+    real = npz.ncc_map_pallas
+    real_argmax = npz.ncc_region_argmax_pallas
+
+    def flaky(img, templ, *a, **k):
+        if img.shape[0] > 100:  # fails only at large geometry
+            raise RuntimeError("simulated Mosaic failure at large geometry")
+        k["interpret"] = True  # CPU runs Pallas interpreted only
+        return real(img, templ, *a, **k)
+
+    def flaky_argmax(region, templ, *a, **k):
+        if region.shape[0] > 100:
+            raise RuntimeError("simulated Mosaic failure at large geometry")
+        k["interpret"] = True
+        return real_argmax(region, templ, *a, **k)
+
+    monkeypatch.setattr(npz, "ncc_map_pallas", flaky)
+    monkeypatch.setattr(npz, "ncc_region_argmax_pallas", flaky_argmax)
+    saved = dict(npz._SUPPORT_CACHE)
+    npz._SUPPORT_CACHE.clear()
+    try:
+        cfg = TrackerConfig(search_radius_x=60, search_radius_y=60)
+        # 720p/80x80: the full-strip probe trips the simulated failure.
+        full_fn, region_fn, _ = get_backend("pallas", (720, 1280), (80, 80), cfg)
+        assert full_fn.__module__ == "pvot.ops.ncc_matmul"
+        # Tiny geometry (strip/region < 100 rows) still resolves to pallas.
+        cfg_small = TrackerConfig(search_radius_x=10, search_radius_y=10)
+        full_fn2, region_fn2, _ = get_backend(
+            "pallas", (60, 160), (8, 8), cfg_small
+        )
+        assert full_fn2.__module__ == "pvot.ops.ncc_pallas"
+        # Per-geometry cache: both verdicts recorded independently.
+        backend = __import__("jax").default_backend()
+        assert npz._SUPPORT_CACHE[(backend, (720, 1280), (80, 80), (121, 121))] is False
+        assert npz._SUPPORT_CACHE[(backend, (60, 160), (8, 8), (21, 21))] is True
+    finally:
+        npz._SUPPORT_CACHE.clear()
+        npz._SUPPORT_CACHE.update(saved)
+
+
+def test_fused_region_argmax_matches_masked_argmax(rng):
+    """The on-chip argmax kernel (north-star fusion, SURVEY.md §7 step 4)
+    must reproduce region_fn + masked_region_argmax exactly: same clamped-
+    window masking, same row-major first-occurrence tie-break — at single-
+    tile (span 121), multi-tile (span 321: 3x3 grid + cross-tile combine),
+    and tiny geometries."""
+    from pvot.ops.ncc_matmul import ncc_map_matmul
+    from pvot.ops.ncc_pallas import ncc_region_argmax_pallas
+    from pvot.ops.search import WindowBounds, masked_region_argmax
+
+    for span, t in [(121, 80), (321, 80), (21, 8)]:
+        region = jnp.asarray(
+            rng.random((span + t - 1, span + t - 1), dtype=np.float32)
+        )
+        templ = jnp.asarray(rng.random((t, t), dtype=np.float32))
+        x0, y0 = jnp.int32(37), jnp.int32(11)
+        for ax0, ax1, ay0, ay1 in [
+            (0, span - 1, 0, span - 1),        # full span
+            (5, span - 7, 11, span - 3),       # clamped window
+            (span // 2, span // 2, span // 2, span // 2),  # 1x1 window
+        ]:
+            b = WindowBounds(x0 + ax0, x0 + ax1, y0 + ay0, y0 + ay1)
+            scores = ncc_map_matmul(region, templ)
+            wv, wx, wy = masked_region_argmax(scores, x0, y0, b)
+            gv, gx, gy = ncc_region_argmax_pallas(
+                region, templ, b, x0, y0, interpret=True
+            )
+            assert (int(gx), int(gy)) == (int(wx), int(wy))
+            np.testing.assert_allclose(float(gv), float(wv), atol=2e-5)
+
+
+def test_fused_region_argmax_tie_break(rng):
+    """Exact ties must resolve to the first occurrence in row-major region
+    order (cv::minMaxLoc semantics) — forced by a constant region, where
+    EVERY window scores identically."""
+    from pvot.ops.ncc_pallas import ncc_region_argmax_pallas
+    from pvot.ops.search import WindowBounds
+
+    span, t = 121, 16
+    region = jnp.full((span + t - 1, span + t - 1), 0.5, jnp.float32)
+    templ = jnp.asarray(rng.random((t, t), dtype=np.float32))
+    x0, y0 = jnp.int32(0), jnp.int32(0)
+    b = WindowBounds(jnp.int32(7), jnp.int32(60), jnp.int32(13), jnp.int32(50))
+    _, gx, gy = ncc_region_argmax_pallas(
+        region, templ, b, x0, y0, interpret=True
+    )
+    assert (int(gx), int(gy)) == (7, 13)  # window's top-left corner
+
+
+def test_step_with_fused_argmax_trajectory_equal(rng):
+    """A tracked scan whose step uses the fused argmax kernel produces
+    bit-identical trajectories to the default matmul-engine step."""
+    import jax
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.ops.ncc_pallas import ncc_region_argmax_pallas
+    from pvot.tracker.scan import track_video
+    from pvot.tracker.state import init_state
+    from pvot.tracker.step import make_step
+
+    spec = SyntheticSpec(width=160, height=120, num_frames=24, target_w=16,
+                         target_h=16, seed=5)
+    frames = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    templ = jnp.asarray(gray_u8_to_f32(frames[0])[y : y + h, x : x + w])
+    config = TrackerConfig(search_radius_x=12, search_radius_y=12)
+
+    state = init_state(templ, (x, y, w, h))
+    _, want = track_video(jnp.asarray(frames[1:]), state, config=config)
+
+    span = (2 * 12 + 1, 2 * 12 + 1)
+
+    def argmax_fn(frame, templ_, t_mean, t_std, x0, y0, bounds):
+        region = jax.lax.dynamic_slice(
+            frame, (y0, x0), (span[0] + h - 1, span[1] + w - 1)
+        )
+        return ncc_region_argmax_pallas(
+            region, templ_, bounds, x0, y0, t_mean, t_std, interpret=True
+        )
+
+    step = make_step((120, 160), (16, 16), config,
+                     ncc_region_argmax_fn=argmax_fn)
+    state2 = init_state(templ, (x, y, w, h))
+
+    def scan_step(s, f):
+        return step(s, f)
+
+    _, got = jax.lax.scan(scan_step, state2, jnp.asarray(frames[1:]))
+    np.testing.assert_array_equal(np.asarray(got.bbox), np.asarray(want.bbox))
+    np.testing.assert_array_equal(
+        np.asarray(got.updated), np.asarray(want.updated)
+    )

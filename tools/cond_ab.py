@@ -61,7 +61,7 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
     template = gray_u8_to_f32(frames[0])[y : y + h, x : x + w]
     state0 = init_state(jnp.asarray(template), (x, y, w, h))
 
-    full_fn, region_fn = get_backend("fast", (height, width), (templ, templ), config)
+    full_fn, region_fn, _ = get_backend("fast", (height, width), (templ, templ), config)
     span_x = 2 * config.search_radius_x + 1
     span_y = 2 * config.search_radius_y + 1
     out_w = width - templ + 1

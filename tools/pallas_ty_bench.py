@@ -86,7 +86,7 @@ def main() -> None:
     config = TrackerConfig()
     template = gray_u8_to_f32(big[0])[y : y + h, x : x + w]
     st0 = init_state(jnp.asarray(template), (x, y, w, h))
-    full_fn, region_fn = get_backend("pallas", (720, 1280), (h, w), config)
+    full_fn, region_fn, _ = get_backend("pallas", (720, 1280), (h, w), config)
     step = make_step((720, 1280), (h, w), config,
                      ncc_full_fn=full_fn, ncc_region_fn=region_fn,
                      strategy="fused")
