@@ -107,9 +107,16 @@ def make_multi_step(
         if use_region:
             x0, y0 = search_ops.region_origin(bounds, out_w, out_h, span_x, span_y)
 
-            def one_local(fr, templ, t_mean, t_std, x0k, y0k, b):
-                scores = region_fn(fr, templ, t_mean, t_std, x0k, y0k)
-                return search_ops.masked_region_argmax(scores, x0k, y0k, b)
+            if _argmax_fn is not None:
+                # Fused on-chip reduction (the Pallas engine): vmap lifts
+                # the kernel's grid over objects/streams; the per-object
+                # score maps never reach HBM.
+                def one_local(fr, templ, t_mean, t_std, x0k, y0k, b):
+                    return _argmax_fn(fr, templ, t_mean, t_std, x0k, y0k, b)
+            else:
+                def one_local(fr, templ, t_mean, t_std, x0k, y0k, b):
+                    scores = region_fn(fr, templ, t_mean, t_std, x0k, y0k)
+                    return search_ops.masked_region_argmax(scores, x0k, y0k, b)
 
             l_val, l_x, l_y = jax.vmap(one_local, in_axes=(f_ax, 0, 0, 0, 0, 0, 0))(
                 frame, states.template, states.t_mean, states.t_std, x0, y0, bounds

@@ -290,3 +290,65 @@ def test_track_video_sharded_matches_unsharded():
     np.testing.assert_array_equal(
         np.asarray(final.bbox_x), np.asarray(out.bbox)[-1, :, 0]
     )
+
+
+def test_multi_step_fused_argmax_matches_unfused_pallas(monkeypatch):
+    """make_multi_step with a backend that supplies a region_argmax_fn (the
+    Pallas engine) vmaps the fused on-chip reduction; it must match the
+    UNFUSED Pallas path (same kernel scores, XLA-side masked argmax)
+    bit-for-bit — the fusion moves the reduction, it must not change it.
+    (Pallas-vs-matmul score differences are separate engine numerics, ~1e-4
+    on low-variance patches, and are covered by the engine parity tests.)"""
+    import pvot.ops.backends as backends_mod
+    from pvot.ops.ncc_pallas import ncc_map_pallas, ncc_region_argmax_pallas
+    from pvot.ops.search import masked_region_argmax
+    from pvot.parallel.multi import make_multi_step
+
+    spec, video, roi, templ = _setup(9)
+    roi2 = (40, 40, 24, 24)
+    templ2 = gray_u8_to_f32(video[0])[40:64, 40:64]
+
+    span = 2 * CFG.search_radius_x + 1
+    real_get = backends_mod.get_backend
+
+    def make_patched(fused):
+        def patched(name, frame_shape, templ_shape, config):
+            full_fn, _, _ = real_get(name, frame_shape, templ_shape, config)
+            th, tw = templ_shape
+
+            def slice_region(frame, y0, x0):
+                return jax.lax.dynamic_slice(
+                    frame, (y0, x0), (span + th - 1, span + tw - 1)
+                )
+
+            def region_fn(frame, t, t_mean, t_std, x0, y0):
+                return ncc_map_pallas(
+                    slice_region(frame, y0, x0), t, t_mean, t_std,
+                    interpret=True,
+                )
+
+            def argmax_fn(frame, t, t_mean, t_std, x0, y0, bounds):
+                return ncc_region_argmax_pallas(
+                    slice_region(frame, y0, x0), t, bounds, x0, y0,
+                    t_mean, t_std, interpret=True,
+                )
+
+            return full_fn, region_fn, (argmax_fn if fused else None)
+
+        return patched
+
+    def run(fused):
+        monkeypatch.setattr(backends_mod, "get_backend", make_patched(fused))
+        mstep = make_multi_step((192, 256), (24, 24), CFG)
+        st = init_multi_state([templ, templ2], [roi, roi2])
+        boxes, scores = [], []
+        for f in video[1:]:
+            st, out = mstep(st, jnp.asarray(f))
+            boxes.append(np.asarray(out.bbox))
+            scores.append(np.asarray(out.score))
+        return np.stack(boxes), np.stack(scores)
+
+    want_boxes, want_scores = run(fused=False)
+    got_boxes, got_scores = run(fused=True)
+    np.testing.assert_array_equal(got_boxes, want_boxes)
+    np.testing.assert_array_equal(got_scores, want_scores)

@@ -1,0 +1,117 @@
+"""On-TPU A/B: matmul engines vs Pallas unfused vs Pallas fused-argmax.
+
+Round-3 question (VERDICT item 1): does moving the masked argmax +
+confidence reduction INSIDE the Pallas kernel — so only (val, x, y) leaves
+the chip — push the Pallas engine past the matmul engine at the headline
+geometry (720p, 80x80 template, radius 60)?  Round-2 standings at that
+geometry: matmul fast 10.4k FPS > matmul highest ~9.3k > pallas unfused
+5.5k (the kernel pays a ~10.5 MB Toeplitz-operator rebuild per
+template-update frame AND round-trips the score map through HBM for the
+XLA-side argmax).
+
+All variants run in ONE process minutes apart (the relay degrades across a
+session; cross-process numbers do not compare), 2048 frames at chunk 512,
+flip protocol, trajectory checked against synthetic ground truth and for
+bit-equality against the HIGHEST matmul engine.
+
+Usage: nohup python tools/engine_ab_bench.py > /tmp/engine_ab.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main(width: int = 1280, height: int = 720, templ: int = 80,
+         chunk_size: int = 512, max_frames: int = 2048) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.ops.backends import get_backend
+    from pvot.tracker.scan import _pack_outputs, fetch_outputs, make_masked_scan_fn
+    from pvot.tracker.state import init_state
+    from pvot.tracker.step import make_step
+    from pvot.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    config = TrackerConfig()
+    spec = SyntheticSpec(width=width, height=height, num_frames=max_frames + 1,
+                         target_w=templ, target_h=templ, seed=1)
+    frames = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    template = gray_u8_to_f32(frames[0])[y : y + h, x : x + w]
+    state0 = init_state(jnp.asarray(template), (x, y, w, h))
+    geom = ((height, width), (templ, templ))
+
+    def build(backend, use_fused):
+        full_fn, region_fn, argmax_fn = get_backend(backend, *geom, config)
+        step = make_step(
+            *geom, config, ncc_full_fn=full_fn, ncc_region_fn=region_fn,
+            strategy="fused",
+            ncc_region_argmax_fn=argmax_fn if use_fused else None,
+        )
+        return make_masked_scan_fn(step, donate=False)
+
+    scan_fns = {
+        "matmul_highest": build("xla", False),
+        "matmul_fast": build("fast", False),
+        "pallas_unfused": build("pallas", False),
+        "pallas_fused": build("pallas", True),
+    }
+
+    chunks = [jax.device_put(frames[1 + i : 1 + i + chunk_size])
+              for i in range(0, max_frames, chunk_size)]
+    valid = jax.device_put(np.ones(chunk_size, bool))
+    jax.block_until_ready(chunks[-1])
+
+    def run(name, fetch=True):
+        st = state0
+        outs = []
+        for c in chunks:
+            st, out = scan_fns[name](st, c, valid)
+            outs.append(out)
+        dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        return fetch_outputs(dev) if fetch else _pack_outputs(dev)
+
+    for name in scan_fns:
+        run(name, fetch=False)
+        print(f"compiled {name}", flush=True)
+    flip = jax.jit(lambda a: a @ a)(jnp.eye(128, dtype=jnp.float32))
+    flip.copy_to_host_async()
+    jax.block_until_ready(flip)
+    _ = np.asarray(flip)
+
+    results, trajs = {}, {}
+    for name in scan_fns:
+        elapsed = float("inf")
+        host = None
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            host = run(name)
+            elapsed = min(elapsed, time.perf_counter() - t0)
+        errs = [abs(int(b[0]) - target_bbox(spec, i + 1)[0])
+                + abs(int(b[1]) - target_bbox(spec, i + 1)[1])
+                for i, b in enumerate(np.asarray(host.bbox))]
+        trajs[name] = np.asarray(host.bbox)
+        results[name] = {
+            "fps": round(max_frames / elapsed, 1),
+            "us_per_frame": round(elapsed / max_frames * 1e6, 2),
+            "max_l1_err_px": int(max(errs)),
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+
+    for name in scan_fns:
+        results[name]["traj_equal_vs_matmul_highest"] = bool(
+            (trajs[name] == trajs["matmul_highest"]).all()
+        )
+    print(json.dumps({"engine_ab": results}))
+
+
+if __name__ == "__main__":
+    main()
