@@ -77,10 +77,13 @@ def run_bench(
     config = TrackerConfig()
     state = init_state(jnp.asarray(template), (x, y, w, h))
 
-    full_fn, region_fn = get_backend(backend, (height, width), (h, w), config)
+    full_fn, region_fn, argmax_fn = get_backend(
+        backend, (height, width), (h, w), config
+    )
     step = make_step(
         (height, width), (h, w), config,
         ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy="fused",
+        ncc_region_argmax_fn=argmax_fn,
     )
     scan_fn = make_masked_scan_fn(step, donate=False)
 

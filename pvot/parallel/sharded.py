@@ -403,6 +403,8 @@ def track_video_sharded(
         )
         return states, empty
     dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
-    for leaf in jax.tree.leaves(dev):
-        leaf.copy_to_host_async()
-    return states, jax.tree.map(np.asarray, jax.device_get(dev))
+    # One packed (F, S, 7) transfer instead of four leaves (each fetch costs
+    # ~30-80 ms of relay latency; see tracker.scan.fetch_outputs).
+    from pvot.tracker.scan import fetch_outputs
+
+    return states, fetch_outputs(dev)

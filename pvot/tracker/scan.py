@@ -114,39 +114,40 @@ def _stack_outputs(outs) -> StepOutput:
     if isinstance(outs[0].score, np.ndarray):
         return StepOutput(*(np.concatenate(xs) for xs in zip(*outs)))
     dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
-    if dev.score.ndim == 1:  # single-object layout: one packed transfer
-        return fetch_outputs(dev)
-    for leaf in jax.tree.leaves(dev):
-        leaf.copy_to_host_async()
-    return jax.tree.map(np.asarray, jax.device_get(dev))
+    # Both the single-object (F,) and multi-object/stream (F, K) layouts
+    # pack into one transfer (round-2 review: the multi path used to fetch
+    # 4 leaves separately — 3 extra ~30-80 ms relay round trips).
+    return fetch_outputs(dev)
 
 
 @jax.jit
 def _pack_outputs(out: StepOutput) -> jnp.ndarray:
     """Pack all per-frame outputs into ONE f32 buffer: a single device->host
     transfer instead of four (each costs ~30-80 ms of relay latency).  bbox
-    coordinates are exact in f32 (|v| < 2^24)."""
+    coordinates are exact in f32 (|v| < 2^24).  Works for the single-object
+    (F, ...) and multi-object/stream (F, K, ...) layouts alike: the packed
+    axis is the trailing one."""
     return jnp.concatenate(
         [
             out.bbox.astype(jnp.float32),
-            out.score[:, None].astype(jnp.float32),
-            out.used_global[:, None].astype(jnp.float32),
-            out.updated[:, None].astype(jnp.float32),
+            out.score[..., None].astype(jnp.float32),
+            out.used_global[..., None].astype(jnp.float32),
+            out.updated[..., None].astype(jnp.float32),
         ],
-        axis=1,
+        axis=-1,
     )
 
 
 def fetch_outputs(dev: StepOutput) -> StepOutput:
-    """Single-transfer fetch of a device-side StepOutput (frames, ...)."""
+    """Single-transfer fetch of a device-side StepOutput (frames[, K], ...)."""
     packed = _pack_outputs(dev)
     packed.copy_to_host_async()
     host = np.asarray(packed)
     return StepOutput(
-        bbox=host[:, 0:4].astype(np.int32),
-        score=host[:, 4].copy(),
-        used_global=host[:, 5] != 0.0,
-        updated=host[:, 6] != 0.0,
+        bbox=host[..., 0:4].astype(np.int32),
+        score=host[..., 4].copy(),
+        used_global=host[..., 5] != 0.0,
+        updated=host[..., 6] != 0.0,
     )
 
 

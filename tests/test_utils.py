@@ -133,3 +133,16 @@ def test_jaxcache_enable_and_disable(tmp_path, monkeypatch):
 
     monkeypatch.setenv("PVOT_JAX_CACHE", "0")
     assert enable_compilation_cache() is None
+
+
+def test_bench_smoke_tiny_geometry():
+    """bench.run_bench end-to-end at a tiny geometry (CPU): guards the
+    driver's headline entry against interface drift (round-3 regression
+    class: a backend-contract change broke bench.py's unpack)."""
+    from bench import run_bench
+
+    r = run_bench(num_frames=16, width=256, height=192, templ=24,
+                  chunk_size=8)
+    assert r["metric"] == "tracked_fps_720p_80px"
+    assert r["value"] > 0
+    assert r["max_l1_err_px"] <= 2
