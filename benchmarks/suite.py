@@ -103,10 +103,13 @@ def _make_tracking_run(
     template = gray_u8_to_f32(frames[0])[y : y + h, x : x + w]
     state = init_state(jnp.asarray(template), (x, y, w, h))
 
-    full_fn, region_fn, _ = get_backend(backend, (height, width), (h, w), config)
+    full_fn, region_fn, argmax_fn = get_backend(
+        backend, (height, width), (h, w), config
+    )
     step = make_step(
         (height, width), (h, w), config,
         ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy=strategy,
+        ncc_region_argmax_fn=argmax_fn,
     )
     if batch:
         bstep = make_batch_step(step, batch)

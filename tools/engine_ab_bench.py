@@ -20,9 +20,13 @@ Usage: nohup python tools/engine_ab_bench.py > /tmp/engine_ab.log 2>&1 &
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(width: int = 1280, height: int = 720, templ: int = 80,
