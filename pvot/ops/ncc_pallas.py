@@ -209,40 +209,35 @@ def _toeplitz_operators(t_centered: jax.Array, tile_lanes: int):
     0 <= l - dx < tw, else 0 — one (L, 8*TX) operator per aligned 8-row
     template group, stacked along sublanes.
 
-    Construction is the Hankel tile-reshape trick (~5 fused XLA ops)
-    instead of TX=128 separate jnp.rolls (~130 kernel launches measured
-    as the dominant per-frame cost of the old build):
+    Round-3 build: direct slice-stack into the final memory order.  The
+    TINY padded template relayouts to (K, L, 8) (<= 100 KB), is front-
+    padded along l, and TX shifted middle-axis slices stack on a new last
+    (lane) axis — (K, L, 8, TX) is then the target layout and the
+    (K*L, 8*TX) reshape is a free view.  One ~10.5 MB fused write, no big
+    relayouts, no wraparound constraint.  Measured on-chip 58 vs 82
+    us/build for round-2's Hankel tile-reshape (whose `tiled` intermediate
+    is ~21 MB plus flip/transpose relayouts); element-exact against the
+    roll construction (tests/test_ncc_pallas.py) and the Hankel build
+    (tools/toeplitz_build_bench.py).  This build is the Pallas engine's
+    dominant per-frame fixed cost (the EMA fires nearly every frame), so
+    its cost IS the engine's headline-geometry handicap; see
+    docs/PERFORMANCE.md "Engine crossover".
 
-        Q[r]    = [padded[r, L-TX+1:], padded[r]]      (len TX-1+L)
-        win[r, k, l] = Q[r, k + l]   via pad -> tile(TX+1) -> reshape rows
-                       of length N+1 (row k starts at k*(N+1) === k mod N)
-        toep[r, l, dx] = padded[r, (l-dx) mod L] = win[r, TX-1-dx, l]
-
-    The mod-L wraparound is exact because columns >= tw of `padded` are
-    zero: the wrapped columns are padded[:, L-TX+1 .. L-1], so exactness
-    needs tw <= L - TX + 1 (asserted below; verified element-exact against
-    the roll construction incl. the tw = L-TX+1 boundary in
-    tests/test_ncc_pallas.py).  box is the same operator from a ones row
-    (shared by all templates of this geometry).
+    box is the same operator from a ones row (shared by all templates of
+    this geometry).
     """
     th, tw = t_centered.shape
     k_blocks = -(-th // 8)
     L = tile_lanes
-    if L - TX + 1 < tw:
-        raise ValueError(f"tile_lanes {L} too small for template width {tw}")
     padded = jnp.pad(
         t_centered, ((0, 8 * k_blocks - th), (0, L - tw))
     )  # (8K, L)
-    r = padded.shape[0]
-    q = jnp.concatenate([padded[:, L - TX + 1 :], padded], axis=1)
-    n = q.shape[1] + TX  # = L + 2*TX - 1, with TX zeros of slack
-    p_arr = jnp.pad(q, ((0, 0), (0, TX)))  # (8K, N)
-    tiled = jnp.tile(p_arr, (1, TX + 1))[:, : TX * (n + 1)]
-    win = tiled.reshape(r, TX, n + 1)[:, :, :L]  # win[r, k, l] = Q[r, k+l]
-    toep = win[:, ::-1, :].transpose(0, 2, 1)  # (8K, L, TX): [r, l, dx]
-    toep = toep.reshape(k_blocks, 8, tile_lanes, TX)
-    toep = toep.transpose(0, 2, 1, 3)  # (K, L, 8, TX)
-    return toep.reshape(k_blocks * tile_lanes, 8 * TX)
+    # (8K, L) -> (K, 8, L) -> (K, L, 8): tiny relayout, then shift-stack.
+    klp = padded.reshape(k_blocks, 8, L).transpose(0, 2, 1)
+    vpad = jnp.pad(klp, ((0, 0), (TX - 1, 0), (0, 0)))
+    cols = [vpad[:, TX - 1 - dx : TX - 1 - dx + L, :] for dx in range(TX)]
+    win = jnp.stack(cols, axis=-1)  # (K, L, 8, TX): [k, l, p, dx]
+    return win.reshape(k_blocks * L, 8 * TX)
 
 
 @functools.lru_cache(maxsize=8)

@@ -49,9 +49,26 @@ def _round_up(x: int, m: int) -> int:
 
 
 def build_hankel(t_centered, tile_lanes):
-    from pvot.ops.ncc_pallas import _toeplitz_operators
+    """The round-2 production build (now superseded by slices_big_direct in
+    pvot.ops.ncc_pallas._toeplitz_operators), kept inline here so the A/B
+    stays reproducible: pad -> tile -> reshape (Hankel trick) -> flip ->
+    transpose."""
+    import jax.numpy as jnp
 
-    return _toeplitz_operators(t_centered, tile_lanes)
+    th, tw = t_centered.shape
+    k_blocks = -(-th // 8)
+    L = tile_lanes
+    assert L - TX + 1 >= tw
+    padded = jnp.pad(t_centered, ((0, 8 * k_blocks - th), (0, L - tw)))
+    r = padded.shape[0]
+    q = jnp.concatenate([padded[:, L - TX + 1 :], padded], axis=1)
+    n = q.shape[1] + TX
+    p_arr = jnp.pad(q, ((0, 0), (0, TX)))
+    tiled = jnp.tile(p_arr, (1, TX + 1))[:, : TX * (n + 1)]
+    win = tiled.reshape(r, TX, n + 1)[:, :, :L]
+    toep = win[:, ::-1, :].transpose(0, 2, 1)
+    toep = toep.reshape(k_blocks, 8, L, TX).transpose(0, 2, 1, 3)
+    return toep.reshape(k_blocks * L, 8 * TX)
 
 
 def _win_slices(padded, tile_lanes):
@@ -78,6 +95,14 @@ def build_slices_big(t_centered, tile_lanes):
     win = _win_slices(padded, L)  # (8K, L, TX)
     toep = win.reshape(k_blocks, 8, L, TX).transpose(0, 2, 1, 3)
     return toep.reshape(k_blocks * L, 8 * TX)
+
+
+def build_slices_big_direct(t_centered, tile_lanes):
+    """The winning build (58 vs 82 us/build on-chip), promoted to
+    production as pvot.ops.ncc_pallas._toeplitz_operators."""
+    from pvot.ops.ncc_pallas import _toeplitz_operators
+
+    return _toeplitz_operators(t_centered, tile_lanes)
 
 
 def build_slices_phase(t_centered, tile_lanes):
@@ -125,6 +150,7 @@ def main(templ: int = 80) -> None:
     builders = {
         "hankel": build_hankel,
         "slices_big": build_slices_big,
+        "slices_big_direct": build_slices_big_direct,
         "slices_phase": build_slices_phase,
         "phase_bf16": build_phase_bf16,
     }
@@ -133,6 +159,8 @@ def main(templ: int = 80) -> None:
     ref = np.asarray(build_hankel(t_centered, tile_lanes))
     got_big = np.asarray(build_slices_big(t_centered, tile_lanes))
     exact_big = bool((ref == got_big).all())
+    got_bigd = np.asarray(build_slices_big_direct(t_centered, tile_lanes))
+    exact_big_direct = bool((ref == got_bigd).all())
     k_blocks = -(-templ // 8)
     got_phase = np.asarray(build_slices_phase(t_centered, tile_lanes))
     # Reindex phase layout back to big layout for comparison.
@@ -146,7 +174,8 @@ def main(templ: int = 80) -> None:
     recon = np.asarray(hi, np.float32) + np.asarray(lo, np.float32)
     bf16_err = float(np.max(np.abs(recon - got_phase)))
     print(json.dumps({
-        "exact_big": exact_big, "exact_phase": exact_phase,
+        "exact_big": exact_big, "exact_big_direct": exact_big_direct,
+        "exact_phase": exact_phase,
         "bf16_recon_max_abs_err": bf16_err,
     }), flush=True)
 
@@ -159,7 +188,12 @@ def main(templ: int = 80) -> None:
                 out = builder(tc, tile_lanes)
                 leaves = out if isinstance(out, tuple) else (out,)
                 for leaf in leaves:
-                    acc = acc + leaf[0, 0].astype(jnp.float32)
+                    # Consume the WHOLE operator: a [0,0] read lets XLA
+                    # slice-propagate and DCE the build (first run of this
+                    # tool measured slices_phase at 0 us that way); the sum
+                    # forces materialization and costs every strategy the
+                    # same ~10.5 MB read.
+                    acc = acc + jnp.sum(leaf.astype(jnp.float32))
                 return acc
             return lax.fori_loop(0, n, body, jnp.float32(0.0))
         return run
