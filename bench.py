@@ -45,13 +45,17 @@ def run_bench(
     # chunk 512 measured ~3% over 256 (fewer dispatch boundaries/frame);
     # see docs/PERFORMANCE.md "Saturation point".
     chunk_size: int = 512,
-    # "fast" = the MXU matmul engine with the correlation matmul at
-    # precision=HIGH (3 bf16 passes): trajectories measured bit-identical
-    # to the exact-f32 HIGHEST engine over 1024 EMA-coupled frames, score
-    # drift <= 8.6e-6 (below the ~1e-5 f32 accumulation-order noise of a
-    # 6400-term window sum), ~12% faster (tools/perf_ab.py).  The bench
-    # validates the tracked trajectory against ground truth either way.
-    backend: str = "fast",
+    # "pallas" = the fused Pallas engine (round 3): NCC scores, window
+    # masking, and the argmax reduce on-chip so only (val, x, y) leaves the
+    # kernel, with the direct slice-stack Toeplitz build.  Measured on-chip
+    # 11,862 FPS vs 10,924 for the round-2 "fast" matmul engine at this
+    # geometry — at full HIGHEST (exact-f32) precision, trajectories
+    # bit-equal to the HIGHEST matmul engine (tools/engine_ab_bench.py).
+    # If the Pallas probe fails on this backend (Mosaic regression), the
+    # registry falls back to the matmul formulation automatically.  The
+    # bench validates the tracked trajectory against ground truth either
+    # way.
+    backend: str = "pallas",
 ) -> dict:
     from pvot.utils.jaxcache import enable_compilation_cache
 

@@ -230,6 +230,8 @@ def bench_multi_object(num_objects=8, width=1280, height=720, templ=80,
     ]
     valid = jax.device_put(np.ones(chunk_size, bool))
 
+    from pvot.tracker.scan import _pack_outputs, fetch_outputs
+
     def run(fetch):
         st = states
         outs = []
@@ -237,11 +239,9 @@ def bench_multi_object(num_objects=8, width=1280, height=720, templ=80,
             st, out = scan_fn(st, c, valid)
             outs.append(out)
         dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
-        if fetch:
-            for leaf in jax.tree.leaves(dev):
-                leaf.copy_to_host_async()
-            return jax.tree.map(np.asarray, jax.device_get(dev))
-        return dev
+        # Packed single-transfer fetch (round-2 review item: the 4-leaf
+        # fetch cost 3 extra ~30-80 ms relay round trips).
+        return fetch_outputs(dev) if fetch else _pack_outputs(dev)
 
     host, elapsed = _stage_flip_time(lambda: run(False), lambda: run(True))
     fps = num_frames / elapsed
@@ -303,6 +303,8 @@ def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
     ]
     valid = jax.device_put(np.ones(chunk_size, bool))
 
+    from pvot.tracker.scan import _pack_outputs, fetch_outputs
+
     def run(fetch):
         st = states
         outs = []
@@ -310,11 +312,9 @@ def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
             st, out = scan_fn(st, c, valid)
             outs.append(out)
         dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
-        if fetch:
-            for leaf in jax.tree.leaves(dev):
-                leaf.copy_to_host_async()
-            return jax.tree.map(np.asarray, jax.device_get(dev))
-        return dev
+        # Packed single-transfer fetch (round-2 review item: the 4-leaf
+        # fetch cost 3 extra ~30-80 ms relay round trips).
+        return fetch_outputs(dev) if fetch else _pack_outputs(dev)
 
     host, elapsed = _stage_flip_time(lambda: run(False), lambda: run(True))
     fps = num_frames * frames_per_step / elapsed
@@ -408,7 +408,7 @@ def bench_mode_comparison(frames=512):
     return rows
 
 
-def bench_stream_sweep(sizes=(8, 16, 32, 64)):
+def bench_stream_sweep(sizes=(8, 16, 32, 64), backend="fast"):
     """Find the chip's serving saturation point: aggregate FPS + MFU as the
     lockstep stream count grows.  Frame counts shrink with S so staged
     device buffers stay within HBM (S=64 stages 64 x 720p uint8 per scan
@@ -422,7 +422,8 @@ def bench_stream_sweep(sizes=(8, 16, 32, 64)):
     out = []
     for s in sizes:
         frames, chunk = plans.get(s, (64, 8))
-        out.append(bench_multi_stream(s, num_frames=frames, chunk_size=chunk))
+        out.append(bench_multi_stream(s, num_frames=frames, chunk_size=chunk,
+                                      backend=backend))
     return out
 
 
@@ -443,10 +444,11 @@ CONFIGS = {
         for n in (4, 8, 16, 32)
     ],
     # r160 stress configs are pvot extensions (the reference never ran
-    # 1080p/4K): they use the auto engine, which picks the Pallas kernel at
-    # this geometry (im2col HBM traffic outgrows the kernel's fixed
-    # Toeplitz-rebuild cost; measured crossover 1,670 -> 2,128 FPS at
-    # 1080p/r160, docs/PERFORMANCE.md).  Trajectory-checked every run.
+    # 1080p/4K): they use the auto engine, which (round 3) resolves to the
+    # Pallas engine wherever the geometry probe passes — measured to win
+    # or tie the matmul engine at every tested geometry once the direct
+    # operator build landed (tools/engine_ab_bench.py; at 1080p/r160 the
+    # margin is ~2.7x).  Trajectory-checked every run.
     "4": lambda frames: [
         bench_tracking(
             "1080p_r160", width=1920, height=1080, radius=160,
@@ -468,6 +470,12 @@ CONFIGS = {
     "7b": lambda frames: bench_stream_sweep(sizes=(16,)),
     "7c": lambda frames: bench_stream_sweep(sizes=(32,)),
     "7d": lambda frames: bench_stream_sweep(sizes=(64,)),
+    # The same sweep on the fused Pallas engine (vmapped kernel; probe-
+    # gated with matmul fallback) — round-3 serving question.
+    "7pa": lambda frames: bench_stream_sweep(sizes=(8,), backend="pallas"),
+    "7pb": lambda frames: bench_stream_sweep(sizes=(16,), backend="pallas"),
+    "7pc": lambda frames: bench_stream_sweep(sizes=(32,), backend="pallas"),
+    "7pd": lambda frames: bench_stream_sweep(sizes=(64,), backend="pallas"),
     # Streams x batch combined (C10 parity semantics: one update / N frames).
     "8": lambda frames: bench_multi_stream(
         32, num_frames=128, chunk_size=16, frames_per_step=4

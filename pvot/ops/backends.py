@@ -73,20 +73,39 @@ MODE_TO_BACKEND = {
 
 
 def prefer_pallas(templ_shape, span_x: int, span_y: int) -> bool:
-    """auto-backend engine choice: compare the bytes the matmul engine
-    round-trips through HBM per region score (the im2col buffer; the
-    row-correlation tensor is the same size again) against the Pallas
-    engine's fixed per-template-update cost (the phase-concatenated
-    Toeplitz operator, ~10.5 MB at 80x80).  Measured crossover in
-    docs/PERFORMANCE.md: matmul wins at 720p/r60, Pallas wins at
-    1080p/r160."""
-    th, tw = templ_shape
-    region_rows = span_y + th - 1
-    im2col_bytes = region_rows * span_x * tw * 4
-    k_rows = -(-th // 8) * 8
-    tile_lanes = ((128 + tw - 1 + 127) // 128) * 128
-    toep_bytes = k_rows * tile_lanes * 128 * 4
-    return im2col_bytes > 1.5 * toep_bytes
+    """auto-backend engine choice, re-measured round 3 on-chip
+    (tools/engine_ab_bench.py, within-process A/Bs): the Pallas engine wins
+    or ties the matmul engine at EVERY tested geometry —
+      720p/t80/r60  (fused)   84.3 vs 91.6  us/frame
+      720p/t80/r20  (fused)   83.8 vs 104.0
+      1080p/t160/r160 (unfused) 878 vs 2401
+      720p/t32/r60  (fused)   70.4 vs 69.6  (tie, within relay noise)
+    Round 2's matmul-wins-at-r60 crossover was an artifact of the Hankel
+    operator build (~80 us/frame in-scan), eliminated by the direct
+    slice-stack build.  The auto backend therefore always prefers the
+    Pallas engine; the geometry-keyed support probe (and its graceful
+    matmul fallback) remains the only gate.  The signature is kept so a
+    future re-measured crossover can slot back in."""
+    del templ_shape, span_x, span_y
+    return True
+
+
+
+
+def _maybe_fused_argmax(frame_shape, templ_shape, span_x: int, span_y: int):
+    """Fused on-chip argmax only when the candidate region fits ONE kernel
+    tile (span <= 128 in both axes).  Measured on-chip (2026-08-17,
+    tools/engine_ab_bench.py): at 720p/r60 (single tile) the fused kernel
+    wins (84.3 vs 86.0 us/frame); at 1080p/r160 (3x3 tile grid) the
+    per-tile partials + cross-tile combine LOSE to the unfused path
+    (991 vs 878 us/frame), so multi-tile geometries keep the score-map +
+    XLA-argmax formulation."""
+    from pvot.ops.ncc_pallas import pallas_region_argmax_fn
+
+    if span_x > 128 or span_y > 128:
+        return None
+    return pallas_region_argmax_fn(frame_shape, templ_shape, (span_y, span_x))
+
 
 
 def get_backend(
@@ -130,7 +149,6 @@ def get_backend(
         if prefer_pallas(templ_shape, span_x, span_y):
             from pvot.ops.ncc_pallas import (
                 pallas_full_fn,
-                pallas_region_argmax_fn,
                 pallas_region_fn,
                 pallas_supported,
             )
@@ -142,15 +160,12 @@ def get_backend(
                 return (
                     pallas_full_fn(frame_shape, templ_shape),
                     pallas_region_fn(frame_shape, templ_shape, (span_y, span_x)),
-                    pallas_region_argmax_fn(
-                        frame_shape, templ_shape, (span_y, span_x)
-                    ),
+                    _maybe_fused_argmax(frame_shape, templ_shape, span_x, span_y),
                 )
         return get_backend("xla_fast", frame_shape, templ_shape, config)
     if name == "pallas":
         from pvot.ops.ncc_pallas import (
             pallas_full_fn,
-            pallas_region_argmax_fn,
             pallas_region_fn,
             pallas_supported,
         )
@@ -159,9 +174,7 @@ def get_backend(
             return (
                 pallas_full_fn(frame_shape, templ_shape),
                 pallas_region_fn(frame_shape, templ_shape, (span_y, span_x)),
-                pallas_region_argmax_fn(
-                    frame_shape, templ_shape, (span_y, span_x)
-                ),
+                _maybe_fused_argmax(frame_shape, templ_shape, span_x, span_y),
             )
         # Graceful fallback (see pallas_supported): same math, MXU matmul
         # formulation.

@@ -179,13 +179,19 @@ def test_uint8_wire_dtype_matches_f32(rng):
 
 
 def test_auto_backend_engine_choice():
-    """prefer_pallas implements the measured crossover (docs/PERFORMANCE.md):
-    matmul engine at 720p/r60 geometry, Pallas at r160."""
-    from pvot.ops.backends import prefer_pallas
+    """Round 3: prefer_pallas always picks the Pallas engine (measured to
+    win or tie at every tested geometry once the direct operator build
+    landed; tools/engine_ab_bench.py); the geometry-keyed support probe is
+    the only gate, so `auto` still resolves to the matmul engine where the
+    probe fails (e.g. this CPU test environment)."""
+    from pvot.config import TrackerConfig
+    from pvot.ops.backends import get_backend, prefer_pallas
 
-    # Headline geometry: 80x80 template, radius 60 -> im2col 7.7 MB < toep.
-    assert not prefer_pallas((80, 80), 121, 121)
-    # Stress geometry: radius 160 -> im2col ~41 MB > 1.5x toep.
+    assert prefer_pallas((80, 80), 121, 121)
     assert prefer_pallas((80, 80), 321, 321)
-    # Tiny template, huge span: toep shrinks faster than im2col.
     assert prefer_pallas((16, 16), 321, 321)
+    # On CPU the compiled-kernel probe fails -> auto falls back to the
+    # matmul fast engine rather than erroring.
+    cfg = TrackerConfig(search_radius_x=10, search_radius_y=10)
+    full_fn, region_fn, _ = get_backend("auto", (48, 64), (8, 8), cfg)
+    assert full_fn.__module__ == "pvot.ops.ncc_matmul"

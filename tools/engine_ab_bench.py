@@ -30,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(width: int = 1280, height: int = 720, templ: int = 80,
-         chunk_size: int = 512, max_frames: int = 2048) -> None:
+         chunk_size: int = 512, max_frames: int = 2048,
+         radius: int | None = None, engines: str = "all") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -45,6 +46,8 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
 
     enable_compilation_cache()
     config = TrackerConfig()
+    if radius:
+        config = TrackerConfig(search_radius_x=radius, search_radius_y=radius)
     spec = SyntheticSpec(width=width, height=height, num_frames=max_frames + 1,
                          target_w=templ, target_h=templ, seed=1)
     frames = generate_gray_video(spec)
@@ -62,12 +65,16 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
         )
         return make_masked_scan_fn(step, donate=False)
 
-    scan_fns = {
-        "matmul_highest": build("xla", False),
-        "matmul_fast": build("fast", False),
-        "pallas_unfused": build("pallas", False),
-        "pallas_fused": build("pallas", True),
+    all_engines = {
+        "matmul_highest": ("xla", False),
+        "matmul_fast": ("fast", False),
+        "pallas_unfused": ("pallas", False),
+        "pallas_fused": ("pallas", True),
     }
+    wanted = all_engines if engines == "all" else {
+        k: all_engines[k] for k in engines.split(",")
+    }
+    scan_fns = {k: build(b, f) for k, (b, f) in wanted.items()}
 
     chunks = [jax.device_put(frames[1 + i : 1 + i + chunk_size])
               for i in range(0, max_frames, chunk_size)]
@@ -110,12 +117,25 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
         }
         print(json.dumps({name: results[name]}), flush=True)
 
+    ref_name = next(iter(trajs))
     for name in scan_fns:
-        results[name]["traj_equal_vs_matmul_highest"] = bool(
-            (trajs[name] == trajs["matmul_highest"]).all()
+        results[name][f"traj_equal_vs_{ref_name}"] = bool(
+            (trajs[name] == trajs[ref_name]).all()
         )
-    print(json.dumps({"engine_ab": results}))
+    tag = f"{width}x{height}_t{templ}_r{radius or 60}"
+    print(json.dumps({f"engine_ab_{tag}": results}))
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--templ", type=int, default=80)
+    ap.add_argument("--chunk", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=2048)
+    ap.add_argument("--radius", type=int, default=None)
+    ap.add_argument("--engines", default="all")
+    a = ap.parse_args()
+    main(a.width, a.height, a.templ, a.chunk, a.frames, a.radius, a.engines)
