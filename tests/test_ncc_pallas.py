@@ -236,3 +236,44 @@ def test_step_with_fused_argmax_trajectory_equal(rng):
     np.testing.assert_array_equal(
         np.asarray(got.updated), np.asarray(want.updated)
     )
+
+
+def test_fused_argmax_single_tile_gating():
+    """The fused reduction only engages when the span fits one kernel tile
+    (measured slower at multi-tile geometries, docs/PERFORMANCE.md
+    "Engine ranking"); larger spans get region_argmax_fn=None so the step
+    uses the unfused score-map + XLA-argmax path."""
+    from pvot.ops.backends import _maybe_fused_argmax
+
+    assert _maybe_fused_argmax((720, 1280), (80, 80), 121, 121) is not None
+    assert _maybe_fused_argmax((720, 1280), (80, 80), 41, 41) is not None
+    assert _maybe_fused_argmax((1080, 1920), (160, 160), 321, 321) is None
+    assert _maybe_fused_argmax((720, 1280), (80, 80), 129, 121) is None
+    assert _maybe_fused_argmax((720, 1280), (80, 80), 121, 129) is None
+
+
+def test_fused_region_argmax_uint8_wire(rng):
+    """The fused kernel accepts the uint8 wire dtype (slice-then-convert
+    semantics, bit-exact vs converting first)."""
+    from pvot.ops.ncc_matmul import ncc_map_matmul
+    from pvot.ops.ncc_pallas import ncc_region_argmax_pallas
+    from pvot.ops.search import WindowBounds, masked_region_argmax
+
+    span, t = 21, 8
+    region_u8 = rng.integers(0, 256, (span + t - 1, span + t - 1),
+                             dtype=np.uint8)
+    from pvot.io.gray import gray_u8_to_f32
+
+    templ = jnp.asarray(
+        gray_u8_to_f32(region_u8)[3 : 3 + t, 4 : 4 + t]
+    )
+    x0, y0 = jnp.int32(2), jnp.int32(6)
+    b = WindowBounds(x0, x0 + span - 1, y0, y0 + span - 1)
+    want = masked_region_argmax(
+        ncc_map_matmul(jnp.asarray(region_u8), templ), x0, y0, b
+    )
+    got = ncc_region_argmax_pallas(
+        jnp.asarray(region_u8), templ, b, x0, y0, interpret=True
+    )
+    assert (int(got[1]), int(got[2])) == (int(want[1]), int(want[2]))
+    np.testing.assert_allclose(float(got[0]), float(want[0]), atol=2e-5)
