@@ -46,6 +46,10 @@ _MODE_FLAGS = {
     "--const": "const",
     "--const_tiled": "const_tiled",
     "--fast": "fast",
+    # Fast Pallas engine: in-kernel 3-pass bf16 hi/lo correlation (the
+    # precision=HIGH analog; Mosaic rejects HIGH inside kernels) — same
+    # trajectory-identity caveat as --fast (pvot.ops.backends).
+    "--pallas_fast": "pallas_fast",
     "--host": "host",
     # Geometry-based engine choice (matmul at small radii, Pallas at large;
     # measured crossover in docs/PERFORMANCE.md).

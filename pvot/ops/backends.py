@@ -60,6 +60,15 @@ MODE_TO_BACKEND = {
     # (the oracle tests' own 1e-5 tolerance) — for ~12% higher throughput.
     "fast": "xla_fast",
     "xla_fast": "xla_fast",
+    # Fast Pallas engine: the hot fused region/argmax kernels run their
+    # dominant correlation matmul as a 3-pass bf16 hi/lo decomposition
+    # (pvot.ops.ncc_pallas._dot_hl3 — Mosaic rejects precision=HIGH inside
+    # kernels, so HIGH's structure is emulated explicitly; 8.8e-6 rel vs
+    # XLA HIGH on-chip).  Global-search full maps stay HIGHEST, mirroring
+    # xla_fast.  Like "fast", trajectory identity vs the HIGHEST engines is
+    # a measured per-clip property, guarded by bench.py's per-run
+    # ground-truth check.
+    "pallas_fast": "pallas_fast",
     # Geometry-based engine choice (measured crossover, docs/PERFORMANCE.md):
     # the matmul engine wins at small search radii (r60/720p: 10.4k vs 5.5k
     # FPS) because the Pallas path pays a ~10.5 MB Toeplitz-operator rebuild
@@ -92,7 +101,9 @@ def prefer_pallas(templ_shape, span_x: int, span_y: int) -> bool:
 
 
 
-def _maybe_fused_argmax(frame_shape, templ_shape, span_x: int, span_y: int):
+def _maybe_fused_argmax(
+    frame_shape, templ_shape, span_x: int, span_y: int, highest: bool = True
+):
     """Fused on-chip argmax only when the candidate region fits ONE kernel
     tile (span <= 128 in both axes).  Measured on-chip (2026-08-17,
     tools/engine_ab_bench.py): at 720p/r60 (single tile) the fused kernel
@@ -104,7 +115,9 @@ def _maybe_fused_argmax(frame_shape, templ_shape, span_x: int, span_y: int):
 
     if span_x > 128 or span_y > 128:
         return None
-    return pallas_region_argmax_fn(frame_shape, templ_shape, (span_y, span_x))
+    return pallas_region_argmax_fn(
+        frame_shape, templ_shape, (span_y, span_x), highest=highest
+    )
 
 
 
@@ -163,21 +176,32 @@ def get_backend(
                     _maybe_fused_argmax(frame_shape, templ_shape, span_x, span_y),
                 )
         return get_backend("xla_fast", frame_shape, templ_shape, config)
-    if name == "pallas":
+    if name in ("pallas", "pallas_fast"):
         from pvot.ops.ncc_pallas import (
             pallas_full_fn,
             pallas_region_fn,
             pallas_supported,
         )
 
-        if pallas_supported(frame_shape, templ_shape, (span_y, span_x)):
+        highest = name == "pallas"
+        if pallas_supported(
+            frame_shape, templ_shape, (span_y, span_x), highest=highest
+        ):
             return (
+                # Global-search full maps stay HIGHEST even in the fast
+                # engine (rare path; mirrors xla_fast's full_fn).
                 pallas_full_fn(frame_shape, templ_shape),
-                pallas_region_fn(frame_shape, templ_shape, (span_y, span_x)),
-                _maybe_fused_argmax(frame_shape, templ_shape, span_x, span_y),
+                pallas_region_fn(
+                    frame_shape, templ_shape, (span_y, span_x), highest=highest
+                ),
+                _maybe_fused_argmax(
+                    frame_shape, templ_shape, span_x, span_y, highest=highest
+                ),
             )
         # Graceful fallback (see pallas_supported): same math, MXU matmul
-        # formulation.
+        # formulation (precision matching the requested engine tier).
+        if name == "pallas_fast":
+            return get_backend("xla_fast", frame_shape, templ_shape, config)
         from pvot.ops.ncc_matmul import make_full_fn, make_region_fn
 
         return make_full_fn(strip_rows=128), make_region_fn(span_x, span_y), None

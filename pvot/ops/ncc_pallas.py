@@ -60,18 +60,50 @@ def _dot_f32(a, b):
     )
 
 
-def _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty):
+def _dot_hl3(a, b):
+    """In-kernel 3-pass bf16 hi/lo matmul — the precision=HIGH analog.
+
+    Mosaic rejects precision=HIGH inside kernels (tools/pallas_probe.py
+    'dot_high' rung), so the 3-pass decomposition is explicit: split both
+    operands into bf16 hi + bf16 lo residual and drop the lo@lo term —
+    the same structure XLA's HIGH uses.  Measured on-chip 8.8e-6 relative
+    vs XLA HIGH (tools/fused_argmax_probe.py 'dot_high_emul' rung), the
+    same order as the HIGH-vs-HIGHEST drift itself.  Used only by the
+    opt-in fast Pallas engine (backends 'pallas_fast'); every
+    reference-parity mode keeps _dot_f32."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return lax.dot_general(
+            x, y,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+def _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest=True):
     """Compute this grid step's (ty, TX) NCC score tile from VMEM refs.
 
     Shared by _ncc_kernel (writes the tile to the output map) and
     _ncc_argmax_kernel (reduces it on-chip so only (val, idx) leaves).
     See _ncc_kernel's docstring for the aligned-window MXU formulation and
     the Mosaic-constraint rationale.
+
+    highest=False runs the dominant correlation matmul with the 3-pass
+    hi/lo bf16 decomposition (_dot_hl3) instead of HIGHEST's 6 passes —
+    the fast-engine analog; the box-sum matmuls stay HIGHEST (they are
+    ~1% of the FLOPs and feed the variance denominator).
     """
     i = pl.program_id(0)
     tx0 = pl.program_id(1) * TX
     tile_lanes = _round_up(TX + tw - 1, 128)
     k_blocks = -(-th // 8)
+    corr_dot = _dot_f32 if highest else _dot_hl3
 
     acc = jnp.zeros((ty, TX), jnp.float32)
     bsum = jnp.zeros((ty, tile_lanes), jnp.float32)
@@ -79,7 +111,7 @@ def _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty):
     for k in range(k_blocks):  # static unroll
         w = img_ref[pl.ds(ty * i + 8 * k, ty + 8), pl.ds(tx0, tile_lanes)]
         wsq = w * w
-        t1 = _dot_f32(w, toep_ref[pl.ds(k * tile_lanes, tile_lanes), :])
+        t1 = corr_dot(w, toep_ref[pl.ds(k * tile_lanes, tile_lanes), :])
         for p in range(8):
             if 8 * k + p >= th:  # zero-padded template rows: skip statically
                 break
@@ -109,6 +141,7 @@ def _ncc_kernel(
     th: int,
     tw: int,
     ty: int,
+    highest: bool = True,
 ):
     """Aligned-window MXU formulation.
 
@@ -147,7 +180,9 @@ def _ncc_kernel(
     division, traced rolls under nested fori, cross-grid-step ref
     accumulation, jnp.dot inside fori_loop.
     """
-    out_ref[:, :] = _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty)
+    out_ref[:, :] = _score_tile(
+        img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest
+    )
 
 
 def _ncc_argmax_kernel(
@@ -162,6 +197,7 @@ def _ncc_argmax_kernel(
     th: int,
     tw: int,
     ty: int,
+    highest: bool = True,
 ):
     """The north-star fused reduction (SURVEY.md §7 step 4): NCC scores,
     window masking, and the cv::minMaxLoc-compatible argmax all happen
@@ -182,7 +218,7 @@ def _ncc_argmax_kernel(
     i = pl.program_id(0)
     j = pl.program_id(1)
     gw = pl.num_programs(1)
-    s = _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty)
+    s = _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest)
     dy = ty * i + lax.broadcasted_iota(jnp.int32, (ty, TX), 0)
     dx = TX * j + lax.broadcasted_iota(jnp.int32, (ty, TX), 1)
     mask = (
@@ -252,7 +288,9 @@ def _box_operator(tile_lanes: int, tw: int):
     return box
 
 
-@functools.partial(jax.jit, static_argnames=("th", "tw", "ty", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("th", "tw", "ty", "interpret", "highest")
+)
 def _ncc_pallas_padded(
     img_pad: jax.Array,
     toep: jax.Array,
@@ -261,6 +299,7 @@ def _ncc_pallas_padded(
     tw: int,
     ty: int = TY,
     interpret: bool = False,
+    highest: bool = True,
 ) -> jax.Array:
     """img_pad already padded so every tile's window read stays in bounds.
 
@@ -273,7 +312,7 @@ def _ncc_pallas_padded(
     gh = (img_pad.shape[0] - 8 * k_blocks) // ty
     gw = (img_pad.shape[1] - tile_lanes) // TX + 1
     box = jnp.asarray(_box_operator(tile_lanes, tw))
-    kernel = functools.partial(_ncc_kernel, th=th, tw=tw, ty=ty)
+    kernel = functools.partial(_ncc_kernel, th=th, tw=tw, ty=ty, highest=highest)
     # The phase-concatenated operator alone is K*L*8*TX*4 bytes (10.5 MB at
     # 80x80); with the image strip, per-k intermediates, and the enclosing
     # program's scoped buffers the default 16 MB scoped-VMEM limit can be
@@ -310,6 +349,7 @@ def ncc_map_pallas(
     t_std: jax.Array | None = None,
     interpret: bool = False,
     strip_rows: int = 256,
+    highest: bool = True,
 ) -> jax.Array:
     """Full valid-mode NCC map via the fused Pallas kernel.
 
@@ -354,7 +394,9 @@ def ncc_map_pallas(
                 (0, (gw - 1) * TX + tile_lanes - w),
             ),
         )
-        out = _ncc_pallas_padded(img_pad, toep, scalars, th, tw, ty, interpret)
+        out = _ncc_pallas_padded(
+            img_pad, toep, scalars, th, tw, ty, interpret, highest
+        )
         return out[:s_out_h, :out_w]
 
     if strip_rows and out_h > strip_rows:
@@ -369,7 +411,7 @@ def ncc_map_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("th", "tw", "ty", "interpret")
+    jax.jit, static_argnames=("th", "tw", "ty", "interpret", "highest")
 )
 def _ncc_argmax_padded(
     img_pad: jax.Array,
@@ -380,6 +422,7 @@ def _ncc_argmax_padded(
     tw: int,
     ty: int,
     interpret: bool = False,
+    highest: bool = True,
 ):
     """Fused score+argmax over a padded candidate region.
 
@@ -390,7 +433,9 @@ def _ncc_argmax_padded(
     gh = (img_pad.shape[0] - 8 * k_blocks) // ty
     gw = (img_pad.shape[1] - tile_lanes) // TX + 1
     box = jnp.asarray(_box_operator(tile_lanes, tw))
-    kernel = functools.partial(_ncc_argmax_kernel, th=th, tw=tw, ty=ty)
+    kernel = functools.partial(
+        _ncc_argmax_kernel, th=th, tw=tw, ty=ty, highest=highest
+    )
     vmem_budget = (
         4 * (img_pad.size + toep.size + box.size)
         + 4 * (ty + 8) * (8 * TX) * (k_blocks + 2)
@@ -428,6 +473,7 @@ def ncc_region_argmax_pallas(
     t_mean: jax.Array | None = None,
     t_std: jax.Array | None = None,
     interpret: bool = False,
+    highest: bool = True,
 ):
     """Fused local-search scorer+argmax: returns ONLY (best_val, x, y).
 
@@ -474,7 +520,7 @@ def ncc_region_argmax_pallas(
         ((0, ty * gh + 8 * k_blocks - h), (0, (gw - 1) * TX + tile_lanes - w)),
     )
     vals, idxs = _ncc_argmax_padded(
-        img_pad, toep, scalars, win, th, tw, ty, interpret
+        img_pad, toep, scalars, win, th, tw, ty, interpret, highest
     )
     # Per-tile partials -> global (val, x, y); same tie-break rule (the flat
     # index is row-major over global region coordinates).
@@ -501,7 +547,7 @@ def ncc_map_pallas_batched(
 _SUPPORT_CACHE: dict = {}
 
 
-def _probe_one(img_shape, templ_shape, seed: int = 0) -> None:
+def _probe_one(img_shape, templ_shape, seed: int = 0, highest: bool = True) -> None:
     """Compile + numerics check of the fused kernel at EXACTLY this
     geometry; raises on failure (caller records the verdict)."""
     import numpy as _np
@@ -509,7 +555,7 @@ def _probe_one(img_shape, templ_shape, seed: int = 0) -> None:
     rng = _np.random.default_rng(seed)
     img = jnp.asarray(rng.random(img_shape, dtype=_np.float32))
     templ = jnp.asarray(rng.random(templ_shape, dtype=_np.float32))
-    got = ncc_map_pallas(img, templ)
+    got = ncc_map_pallas(img, templ, highest=highest)
     from pvot.ops.ncc_matmul import ncc_map_matmul
 
     want = ncc_map_matmul(img, templ)
@@ -520,7 +566,9 @@ def _probe_one(img_shape, templ_shape, seed: int = 0) -> None:
         )
 
 
-def _probe_argmax(templ_shape, span_shape, seed: int = 0) -> None:
+def _probe_argmax(
+    templ_shape, span_shape, seed: int = 0, highest: bool = True
+) -> None:
     """Compile + numerics check of the fused argmax kernel at the served
     region geometry; raises on failure."""
     import numpy as _np
@@ -540,7 +588,9 @@ def _probe_argmax(templ_shape, span_shape, seed: int = 0) -> None:
         x0 + 1, x0 + span_x - 2, y0 + 2, y0 + span_y - 1
     )
     want = masked_region_argmax(ncc_map_matmul(region, templ), x0, y0, bounds)
-    got = ncc_region_argmax_pallas(region, templ, bounds, x0, y0)
+    got = ncc_region_argmax_pallas(
+        region, templ, bounds, x0, y0, highest=highest
+    )
     if not (
         abs(float(got[0]) - float(want[0])) < 1e-3
         and int(got[1]) == int(want[1])
@@ -558,6 +608,7 @@ def pallas_supported(
     templ_shape=None,
     span_shape=None,
     strip_rows: int = 256,
+    highest: bool = True,
 ) -> bool:
     """Probe whether the fused kernel compiles AND computes correctly on the
     current backend — at the geometry it will actually serve.
@@ -579,20 +630,25 @@ def pallas_supported(
     Probe compiles hit the persistent compile cache on re-runs, and they
     are the same programs production would compile at first use anyway.
     """
-    key = (jax.default_backend(), frame_shape, templ_shape, span_shape)
+    key = (jax.default_backend(), frame_shape, templ_shape, span_shape, highest)
     if key not in _SUPPORT_CACHE:
         try:
-            _probe_one((64, 256), (8, 8))  # smoke: kernel works at all
+            # smoke: kernel works at all (at the requested precision)
+            _probe_one((64, 256), (8, 8), highest=highest)
             if templ_shape is not None:
                 th, tw = templ_shape
                 if span_shape is not None:
                     span_y, span_x = span_shape
-                    _probe_one((span_y + th - 1, span_x + tw - 1), templ_shape)
-                    _probe_argmax(templ_shape, span_shape)
+                    _probe_one(
+                        (span_y + th - 1, span_x + tw - 1),
+                        templ_shape,
+                        highest=highest,
+                    )
+                    _probe_argmax(templ_shape, span_shape, highest=highest)
                 if frame_shape is not None:
                     fh, fw = frame_shape
                     rows = min(fh - th + 1, strip_rows) + th - 1
-                    _probe_one((rows, fw), templ_shape)
+                    _probe_one((rows, fw), templ_shape, highest=highest)
             ok = True
         except Exception:  # stash for diagnosis (tools/pallas_probe.py)
             import traceback
@@ -614,12 +670,16 @@ def pallas_supported(
     return _SUPPORT_CACHE[key]
 
 
-def pallas_full_fn(frame_shape: Tuple[int, int], templ_shape: Tuple[int, int]):
+def pallas_full_fn(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    highest: bool = True,
+):
     """Backend adapter: full-map callable (frame, templ, t_mean, t_std)."""
     del frame_shape, templ_shape
 
     def full_fn(frame, templ, t_mean, t_std):
-        return ncc_map_pallas(frame, templ, t_mean, t_std)
+        return ncc_map_pallas(frame, templ, t_mean, t_std, highest=highest)
 
     return full_fn
 
@@ -628,6 +688,7 @@ def pallas_region_fn(
     frame_shape: Tuple[int, int],
     templ_shape: Tuple[int, int],
     span_shape: Tuple[int, int],
+    highest: bool = True,
 ):
     """Backend adapter: fused local-search region scorer."""
     span_y, span_x = span_shape
@@ -637,7 +698,7 @@ def pallas_region_fn(
         region = lax.dynamic_slice(
             frame, (y0, x0), (span_y + th - 1, span_x + tw - 1)
         )
-        return ncc_map_pallas(region, templ, t_mean, t_std)
+        return ncc_map_pallas(region, templ, t_mean, t_std, highest=highest)
 
     return region_fn
 
@@ -646,6 +707,7 @@ def pallas_region_argmax_fn(
     frame_shape: Tuple[int, int],
     templ_shape: Tuple[int, int],
     span_shape: Tuple[int, int],
+    highest: bool = True,
 ):
     """Backend adapter: fused region scorer + on-chip masked argmax.
 
@@ -660,7 +722,7 @@ def pallas_region_argmax_fn(
             frame, (y0, x0), (span_y + th - 1, span_x + tw - 1)
         )
         return ncc_region_argmax_pallas(
-            region, templ, bounds, x0, y0, t_mean, t_std
+            region, templ, bounds, x0, y0, t_mean, t_std, highest=highest
         )
 
     return region_argmax_fn

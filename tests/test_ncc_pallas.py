@@ -277,3 +277,75 @@ def test_fused_region_argmax_uint8_wire(rng):
     )
     assert (int(got[1]), int(got[2])) == (int(want[1]), int(want[2]))
     np.testing.assert_allclose(float(got[0]), float(want[0]), atol=2e-5)
+
+
+def test_pallas_fast_hilo_matches_oracle(rng):
+    """The 3-pass bf16 hi/lo fast variant (highest=False) must stay within
+    HIGH-grade drift of the exact-f32 oracle: ~1e-5 relative for O(1) NCC
+    scores (same bound the xla_fast engine is held to).  Interpret mode
+    executes the identical hi/lo decomposition the chip runs."""
+    frame = rng.random((96, 160), dtype=np.float32)
+    templ = rng.random((17, 23), dtype=np.float32)
+    got = np.asarray(
+        ncc_map_pallas(
+            jnp.asarray(frame), jnp.asarray(templ), interpret=True,
+            highest=False,
+        )
+    )
+    want = bruteforce_reference_map(frame, templ)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_pallas_fast_region_argmax_matches(rng):
+    """Fast fused argmax finds the same peak as the exact path when the
+    template is genuinely present in the region (a distinct peak, so the
+    ~1e-5 score drift cannot flip the argmax)."""
+    from pvot.ops.ncc_matmul import ncc_map_matmul
+    from pvot.ops.ncc_pallas import ncc_region_argmax_pallas
+    from pvot.ops.search import WindowBounds, masked_region_argmax
+
+    span, t = 121, 32
+    region = rng.random((span + t - 1, span + t - 1), dtype=np.float32)
+    templ = region[40 : 40 + t, 25 : 25 + t].copy()  # plant a true match
+    region_j, templ_j = jnp.asarray(region), jnp.asarray(templ)
+    x0, y0 = jnp.int32(3), jnp.int32(9)
+    b = WindowBounds(x0, x0 + span - 1, y0, y0 + span - 1)
+    wv, wx, wy = masked_region_argmax(
+        ncc_map_matmul(region_j, templ_j), x0, y0, b
+    )
+    gv, gx, gy = ncc_region_argmax_pallas(
+        region_j, templ_j, b, x0, y0, interpret=True, highest=False
+    )
+    assert (int(gx), int(gy)) == (int(wx), int(wy)) == (25 + 3, 40 + 9)
+    np.testing.assert_allclose(float(gv), float(wv), atol=5e-5)
+
+
+def test_pallas_fast_backend_resolution(monkeypatch):
+    """'pallas_fast' resolves to the Pallas engine with highest=False on
+    the hot paths when the probe passes, and falls back to xla_fast when
+    it fails — without touching the parity 'pallas' engine's cache key."""
+    import pvot.ops.backends as backends_mod
+    import pvot.ops.ncc_pallas as ncc_pallas_mod
+    from pvot.config import TrackerConfig
+
+    calls = []
+
+    def fake_supported(frame_shape=None, templ_shape=None, span_shape=None,
+                       strip_rows=256, highest=True):
+        calls.append(highest)
+        return not highest  # fast probe passes, parity probe fails
+
+    monkeypatch.setattr(ncc_pallas_mod, "pallas_supported", fake_supported)
+    monkeypatch.setattr(
+        "pvot.ops.ncc_pallas.pallas_supported", fake_supported
+    )
+    cfg = TrackerConfig()
+    full_fast, region_fast, argmax_fast = backends_mod.get_backend(
+        "pallas_fast", (96, 160), (16, 16), cfg
+    )
+    assert argmax_fast is not None  # span fits one tile -> fused argmax
+    full_par, region_par, argmax_par = backends_mod.get_backend(
+        "pallas", (96, 160), (16, 16), cfg
+    )
+    assert argmax_par is None  # parity probe failed -> matmul fallback
+    assert calls == [False, True]

@@ -70,6 +70,8 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
         "matmul_fast": ("fast", False),
         "pallas_unfused": ("pallas", False),
         "pallas_fused": ("pallas", True),
+        # Round-3b: in-kernel 3-pass bf16 hi/lo correlation (_dot_hl3).
+        "pallas_fast_fused": ("pallas_fast", True),
     }
     wanted = all_engines if engines == "all" else {
         k: all_engines[k] for k in engines.split(",")
