@@ -489,7 +489,10 @@ CONFIGS = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5,6,7a,7b,7c,7d,8,9,10")
+    ap.add_argument(
+        "--configs",
+        default="1,2,3,4,5,6,7a,7pa,7b,7pb,7c,7pc,7d,7pd,8,9,10",
+    )
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.json"))
     ap.add_argument(

@@ -60,7 +60,7 @@ def _dot_f32(a, b):
     )
 
 
-def _dot_hl3(a, b):
+def _dot_hl3(a, bh, bl):
     """In-kernel 3-pass bf16 hi/lo matmul — the precision=HIGH analog.
 
     Mosaic rejects precision=HIGH inside kernels (tools/pallas_probe.py
@@ -68,13 +68,14 @@ def _dot_hl3(a, b):
     operands into bf16 hi + bf16 lo residual and drop the lo@lo term —
     the same structure XLA's HIGH uses.  Measured on-chip 8.8e-6 relative
     vs XLA HIGH (tools/fused_argmax_probe.py 'dot_high_emul' rung), the
-    same order as the HIGH-vs-HIGHEST drift itself.  Used only by the
-    opt-in fast Pallas engine (backends 'pallas_fast'); every
-    reference-parity mode keeps _dot_f32."""
+    same order as the HIGH-vs-HIGHEST drift itself.  The RHS (the
+    Toeplitz operator) arrives PRE-SPLIT as a bf16 pair: the XLA-side
+    build then writes — and the kernel DMAs — half the bytes of the f32
+    operator, the fast tier's second win besides the halved MXU passes.
+    Used only by the opt-in fast Pallas engine (backends 'pallas_fast');
+    every reference-parity mode keeps _dot_f32."""
     ah = a.astype(jnp.bfloat16)
     al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def d(x, y):
         return lax.dot_general(
@@ -103,7 +104,6 @@ def _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest=True):
     tx0 = pl.program_id(1) * TX
     tile_lanes = _round_up(TX + tw - 1, 128)
     k_blocks = -(-th // 8)
-    corr_dot = _dot_f32 if highest else _dot_hl3
 
     acc = jnp.zeros((ty, TX), jnp.float32)
     bsum = jnp.zeros((ty, tile_lanes), jnp.float32)
@@ -111,7 +111,17 @@ def _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest=True):
     for k in range(k_blocks):  # static unroll
         w = img_ref[pl.ds(ty * i + 8 * k, ty + 8), pl.ds(tx0, tile_lanes)]
         wsq = w * w
-        t1 = corr_dot(w, toep_ref[pl.ds(k * tile_lanes, tile_lanes), :])
+        if highest:  # f32 operator, 6-pass parity dot
+            t1 = _dot_f32(w, toep_ref[pl.ds(k * tile_lanes, tile_lanes), :])
+        else:  # bf16 hi/lo operator pair stacked on sublanes (hi block
+            # first, lo block after all K hi blocks), 3-pass dot
+            t1 = _dot_hl3(
+                w,
+                toep_ref[pl.ds(k * tile_lanes, tile_lanes), :],
+                toep_ref[
+                    pl.ds((k_blocks + k) * tile_lanes, tile_lanes), :
+                ],
+            )
         for p in range(8):
             if 8 * k + p >= th:  # zero-padded template rows: skip statically
                 break
@@ -276,6 +286,21 @@ def _toeplitz_operators(t_centered: jax.Array, tile_lanes: int):
     return win.reshape(k_blocks * L, 8 * TX)
 
 
+def _toeplitz_for(t_centered: jax.Array, tile_lanes: int, highest: bool):
+    """The kernel's operator input at the requested precision tier.
+
+    highest: the f32 operator as built.  fast: the bf16 hi/lo pair,
+    stacked on the sublane axis (all K hi blocks, then all K lo blocks) —
+    half the build-write and kernel-DMA bytes; XLA fuses the split into
+    the build's single pass."""
+    toep = _toeplitz_operators(t_centered, tile_lanes)
+    if highest:
+        return toep
+    hi = toep.astype(jnp.bfloat16)
+    lo = (toep - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=0)
+
+
 @functools.lru_cache(maxsize=8)
 def _box_operator(tile_lanes: int, tw: int):
     """0/1 ones-row Toeplitz as NUMPY (an eager device constant here would be
@@ -371,7 +396,7 @@ def ncc_map_pallas(
     tile_lanes = _round_up(TX + tw - 1, 128)
 
     t_centered = templ - t_mean
-    toep = _toeplitz_operators(t_centered, tile_lanes)
+    toep = _toeplitz_for(t_centered, tile_lanes, highest)
     scalars = jnp.stack(
         [t_mean, t_std, jnp.sum(t_centered), jnp.float32(th * tw)]
     ).reshape(1, 4)
@@ -499,7 +524,7 @@ def ncc_region_argmax_pallas(
     k_blocks = -(-th // 8)
 
     t_centered = templ - t_mean
-    toep = _toeplitz_operators(t_centered, tile_lanes)
+    toep = _toeplitz_for(t_centered, tile_lanes, highest)
     scalars = jnp.stack(
         [t_mean, t_std, jnp.sum(t_centered), jnp.float32(th * tw)]
     ).reshape(1, 4)

@@ -135,8 +135,16 @@ def test_geometry_keyed_probe_falls_back_gracefully(monkeypatch):
         assert full_fn2.__module__ == "pvot.ops.ncc_pallas"
         # Per-geometry cache: both verdicts recorded independently.
         backend = __import__("jax").default_backend()
-        assert npz._SUPPORT_CACHE[(backend, (720, 1280), (80, 80), (121, 121))] is False
-        assert npz._SUPPORT_CACHE[(backend, (60, 160), (8, 8), (21, 21))] is True
+        assert (
+            npz._SUPPORT_CACHE[
+                (backend, (720, 1280), (80, 80), (121, 121), True)
+            ]
+            is False
+        )
+        assert (
+            npz._SUPPORT_CACHE[(backend, (60, 160), (8, 8), (21, 21), True)]
+            is True
+        )
     finally:
         npz._SUPPORT_CACHE.clear()
         npz._SUPPORT_CACHE.update(saved)
