@@ -75,7 +75,9 @@ def _label(rec):
         return f"{m.group(1)} streams x batch {m.group(2)}"
     m = re.match(r"multi_stream_(\d+)x_720p", cfg)
     if m:
-        return f"{m.group(1)} independent streams (serving)"
+        engine = rec.get("backend")
+        suffix = f", {engine} engine" if engine else ""
+        return f"{m.group(1)} independent streams (serving{suffix})"
     return cfg
 
 

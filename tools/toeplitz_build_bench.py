@@ -120,6 +120,31 @@ def build_slices_phase(t_centered, tile_lanes):
     return win.reshape(8 * k_blocks * L, TX)
 
 
+def build_shear_T(t_centered, tile_lanes):
+    """Reshape-shear build of the TRANSPOSED operator (K*8*TX, L): row
+    ((k*8 + p)*TX + dx), lane l = t_c[8k+p, l - dx].
+
+    The shear trick: broadcast each zero-padded template row v (length
+    M = L + TX) TX times, flatten, trim to TX*(M-1), reshape (TX, M-1) —
+    element [dx, j] = v[(j - dx) mod M], and the M-tw zero tail makes every
+    wrapped index land on zero, which IS the operator's 0-outside-[0,tw)
+    semantics.  No transposes, no lane-axis stacking, no concatenates: one
+    fused broadcast+trim copy.  Consuming this layout needs the kernel's
+    correlation dot to contract over the RHS's LANE dim
+    (dimension_numbers ((1,), (1,)) — probed separately)."""
+    import jax.numpy as jnp
+
+    th, tw = t_centered.shape
+    k_blocks = -(-th // 8)
+    L = tile_lanes
+    M = L + TX
+    padded = jnp.pad(t_centered, ((0, 8 * k_blocks - th), (0, M - tw)))
+    b = jnp.broadcast_to(padded[:, None, :], (8 * k_blocks, TX, M))
+    c = b.reshape(8 * k_blocks, TX * M)[:, : TX * (M - 1)]
+    d = c.reshape(8 * k_blocks, TX, M - 1)[:, :, :L]
+    return d.reshape(8 * k_blocks * TX, L)
+
+
 def build_phase_bf16(t_centered, tile_lanes):
     """bf16 hi/lo pair of per-phase operators (for in-kernel HIGH emulation:
     a @ b ~= a_hi@b_hi + a_hi@b_lo + a_lo@b_hi, f32 accumulation)."""
@@ -152,6 +177,7 @@ def main(templ: int = 80) -> None:
         "slices_big": build_slices_big,
         "slices_big_direct": build_slices_big_direct,
         "slices_phase": build_slices_phase,
+        "shear_T": build_shear_T,
         "phase_bf16": build_phase_bf16,
     }
 
@@ -170,12 +196,19 @@ def main(templ: int = 80) -> None:
         .reshape(k_blocks * tile_lanes, 8 * TX)
     )
     exact_phase = bool((ref == back).all())
+    got_shear = np.asarray(build_shear_T(t_centered, tile_lanes))
+    back_shear = (
+        got_shear.reshape(k_blocks, 8, TX, tile_lanes)
+        .transpose(0, 3, 1, 2)
+        .reshape(k_blocks * tile_lanes, 8 * TX)
+    )
+    exact_shear = bool((ref == back_shear).all())
     hi, lo = build_phase_bf16(t_centered, tile_lanes)
     recon = np.asarray(hi, np.float32) + np.asarray(lo, np.float32)
     bf16_err = float(np.max(np.abs(recon - got_phase)))
     print(json.dumps({
         "exact_big": exact_big, "exact_big_direct": exact_big_direct,
-        "exact_phase": exact_phase,
+        "exact_phase": exact_phase, "exact_shear_T": exact_shear,
         "bf16_recon_max_abs_err": bf16_err,
     }), flush=True)
 
