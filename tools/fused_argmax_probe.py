@@ -22,6 +22,18 @@ before the kernel is built on it:
   vmap_fused      jax.vmap over the fused kernel (multi-stream serving)
   dot_high_emul   in-kernel 3-pass bf16 hi/lo matmul (precision=HIGH
                   emulation; Mosaic rejects Precision.HIGH natively)
+  dot_rhs_lane    dot contracting over the RHS lane dim (A @ B^T) — the
+                  shear-transposed operator-build consumer
+  scratch_carry   scratch state persisting across sequential grid steps
+  dyn_hbm_dma     in-kernel DMA from HBM at a data-dependent offset
+                  written by the previous grid step
+  when_heavy      pl.when-gated matmul on a flip-flopping scratch scalar
+
+The last three are the MEGA-KERNEL ladder: if they pass, an entire
+tracking chunk (frames x the full local-mode state machine) can run inside
+ONE pallas_call — state in scratch, per-frame search regions DMA'd from
+HBM at bbox-dependent offsets — removing the per-step XLA glue and launch
+overhead that dominate the fused step (tools/region_step_breakdown.py).
 
 Run on the real TPU:  nohup python tools/fused_argmax_probe.py > /tmp/fap.log 2>&1 &
 """
@@ -293,6 +305,375 @@ def probe_dot_high_emul():
     assert rel < 1e-4, rel
 
 
+def probe_dot_rhs_lane():
+    """In-kernel dot contracting over the RHS's LANE dim (A @ B^T shape):
+    dimension_numbers (((1,), (1,)), ((), ())).  The reshape-shear Toeplitz
+    build (tools/toeplitz_build_bench.py build_shear_T) produces the
+    operator TRANSPOSED — one fused broadcast+trim copy, no stacking — but
+    consuming it requires Mosaic to accept this contraction."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[:, :] = lax.dot_general(
+            a_ref[:, :], b_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.random((136, 256), np.float32))
+    b = jnp.asarray(rng.random((1024, 256), np.float32))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((136, 1024), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(a, b)
+    want = a @ b.T
+    err = float(jnp.max(jnp.abs(out - want)))
+    print(f"  rhs-lane contraction max abs err {err:.3e}")
+    assert err < 1e-4, err
+
+
+def probe_scratch_carry():
+    """State carried in scratch ACROSS sequential grid steps — the
+    mega-kernel ingredient: TPU grid iterations run sequentially on one
+    core and scratch persists, so a whole tracking chunk can live inside
+    one pallas_call with (bbox, template stats, lost count) in scratch.
+    Accumulate a running sum in VMEM scratch + an i32 counter in SMEM
+    scratch over grid=(8,), emit per-step outputs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, o_ref, acc_ref, cnt_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+            cnt_ref[0] = 0
+
+        acc_ref[:, :] += x_ref[:, :]
+        cnt_ref[0] += 2
+        o_ref[:, :] = acc_ref[:, :] + jnp.float32(cnt_ref[0])
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((8 * 8, 128), np.float32))
+    out = pl.pallas_call(
+        kernel,
+        grid=(8,),
+        in_specs=[pl.BlockSpec((8, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8 * 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )(x)
+    xs = np.asarray(x).reshape(8, 8, 128)
+    want = np.cumsum(xs, axis=0) + (
+        2.0 * (np.arange(1, 9, dtype=np.float32))[:, None, None]
+    )
+    err = float(np.max(np.abs(np.asarray(out).reshape(8, 8, 128) - want)))
+    print(f"  scratch-carry max abs err {err:.3e}")
+    assert err < 1e-5, err
+
+
+def probe_dyn_hbm_dma():
+    """In-kernel DMA from an HBM-resident input at a DATA-DEPENDENT row
+    offset held in SMEM scratch (written by the PREVIOUS grid step) — the
+    mega-kernel's frame-region fetch: step t's search window origin comes
+    from step t-1's argmax, so the copy offset cannot be a BlockSpec index
+    map.  Chain: o_{t+1} = o_t + int(value loaded at step t)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    steps, rows = 4, 8
+
+    def kernel(x_hbm, o_ref, buf_ref, off_ref, sem):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            off_ref[0] = 0
+
+        off = off_ref[0]
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(off, rows), :], buf_ref, sem
+        )
+        cp.start()
+        cp.wait()
+        o_ref[:, :] = buf_ref[:, :]
+        # next offset = this block's [0,0] value (planted integers)
+        off_ref[0] = off + buf_ref[0, 0].astype(jnp.int32)
+
+    rng = np.random.default_rng(11)
+    x = rng.random((1024, 256), np.float32)
+    # plant the offset chain: 0 -> 16 -> 48 -> 112 (deltas 16, 32, 64, ...)
+    offs = [0]
+    for d in (16, 32, 64):
+        offs.append(offs[-1] + d)
+    for o, d in zip(offs, (16, 32, 64, 999)):
+        x[o, 0] = float(d)
+    xj = jnp.asarray(x)
+    out = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((rows, 256), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps * rows, 256), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 256), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xj)
+    got = np.asarray(out).reshape(steps, rows, 256)
+    want = np.stack([x[o:o + rows] for o in offs])
+    err = float(np.max(np.abs(got - want)))
+    print(f"  dyn-offset HBM DMA max abs err {err:.3e} (offsets {offs})")
+    assert err < 1e-6, err
+
+
+def probe_when_heavy():
+    """pl.when gating a matmul on a scratch-scalar condition that flips
+    per grid step — the mega-kernel's rare-branch structure (e.g. template
+    restat after EMA, or skip-work-when-lost)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(a_ref, b_ref, o_ref, flag_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            flag_ref[0] = 1
+
+        o_ref[:, :] = jnp.zeros_like(o_ref)
+
+        @pl.when(flag_ref[0] == 1)
+        def _():
+            o_ref[:, :] = lax.dot_general(
+                a_ref[:, :], b_ref[:, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        flag_ref[0] = 1 - flag_ref[0]
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.random((128, 128), np.float32))
+    b = jnp.asarray(rng.random((128, 128), np.float32))
+    out = pl.pallas_call(
+        kernel,
+        grid=(4,),
+        in_specs=[pl.BlockSpec((128, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((128, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4 * 128, 128), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )(a, b)
+    got = np.asarray(out).reshape(4, 128, 128)
+    ab = np.asarray(a) @ np.asarray(b)
+    want = np.stack([ab, np.zeros_like(ab), ab, np.zeros_like(ab)])
+    err = float(np.max(np.abs(got - want)))
+    print(f"  when-heavy max abs err {err:.3e}")
+    assert err < 1e-4, err
+
+
+def probe_roll_static():
+    """Plain pltpu.roll with a static shift along lanes.  Round-1 catalogue
+    says this Mosaic rejected static-shift rolls — re-probed because several
+    round-1 rejections (reduce, argmax, two outputs, vmap) later PASSED."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, o_ref):
+        o_ref[:, :] = pltpu.roll(x_ref[:, :], 5, 1)
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((8, 256), np.float32))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 256), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(x)
+    want = np.roll(np.asarray(x), 5, axis=1)
+    err = float(np.max(np.abs(np.asarray(out) - want)))
+    print(f"  static roll max abs err {err:.3e}")
+    assert err == 0.0, err
+
+
+def probe_roll_strided():
+    """pltpu.roll with stride=1 over sublanes — row i lane-rolled by i.
+    THE shear primitive: broadcast a padded template row v (1, M) to
+    (TX, M), strided-roll, trim to L lanes => the TRANSPOSED Toeplitz
+    block toep_T[dx, l] = v[(l - dx) mod M] built entirely in-kernel,
+    no HBM operator, no build pass."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = 384
+
+    def kernel(v_ref, o_ref):
+        b = jnp.broadcast_to(v_ref[0:1, :], (TX, M))
+        o_ref[:, :] = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)
+
+    rng = np.random.default_rng(6)
+    v = np.zeros((8, M), np.float32)
+    v[0, :80] = rng.random(80, dtype=np.float32)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((TX, M), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.asarray(v))
+    want = np.stack([np.roll(v[0], dx) for dx in range(TX)])
+    err = float(np.max(np.abs(np.asarray(out) - want)))
+    print(f"  strided roll max abs err {err:.3e}")
+    assert err == 0.0, err
+
+
+def probe_shear_dot():
+    """The full operator-free correlation rung: per (k, p) template row,
+    broadcast+strided-roll builds the transposed Toeplitz block in
+    registers and an rhs-lane dot consumes it immediately — no operator
+    in HBM or scratch.  Checks one k-group (8 rows) against the XLA
+    slice-stack operator's result."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, ty, tw = 256, 128, 80
+    M = L + TX
+
+    def kernel(w_ref, t_ref, o_ref):
+        acc = jnp.zeros((ty, TX), jnp.float32)
+        w = w_ref[:, :]
+        for p in range(8):
+            b = jnp.broadcast_to(t_ref[p : p + 1, :], (TX, M))
+            tt = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)[:, :L]
+            t1 = lax.dot_general(
+                w, tt,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            acc = acc + t1[p : p + ty, :]
+        o_ref[:, :] = acc
+
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.random((ty + 8, L), np.float32))
+    t = np.zeros((8, M), np.float32)
+    t[:, :tw] = rng.random((8, tw), dtype=np.float32)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ty, TX), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(w, jnp.asarray(t))
+    # reference: acc[y, dx] = sum_p sum_j t[p, j] * w[y + p, j + dx]
+    wn = np.asarray(w)
+    want = np.zeros((ty, TX), np.float32)
+    for p in range(8):
+        for dx in range(TX):
+            want[:, dx] += wn[p : p + ty, dx : dx + tw] @ t[p, :tw]
+    err = float(np.max(np.abs(np.asarray(out) - want)))
+    rel = err / float(np.max(np.abs(want)))
+    print(f"  shear-dot max abs err {err:.3e} (rel {rel:.3e})")
+    assert rel < 1e-5, rel
+
+
+def probe_u8_convert():
+    """uint8 VMEM load + f32 convert + scale in-kernel — the wire-dtype
+    frame slab converted on-chip (mega-kernel ingredient; today the
+    u8->f32 convert is XLA glue)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, o_ref):
+        o_ref[:, :] = x_ref[:, :].astype(jnp.float32) * jnp.float32(1 / 255)
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.integers(0, 256, (32, 256), np.uint8))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((32, 256), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(x)
+    want = np.asarray(x).astype(np.float32) * np.float32(1 / 255)
+    err = float(np.max(np.abs(np.asarray(out) - want)))
+    print(f"  u8 convert max abs err {err:.3e}")
+    assert err == 0.0, err
+
+
+def probe_dma_dyn_2d():
+    """DMA from HBM with DYNAMIC offsets in BOTH dims (row and lane) —
+    the mega-kernel's frame-slab and EMA-patch fetch: the search-region
+    origin is data-dependent in x and y."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_hbm, off_ref, o_ref, buf_ref, sem):
+        ro = off_ref[0]
+        co = off_ref[1]
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ro, 16), pl.ds(co, 128)], buf_ref, sem
+        )
+        cp.start()
+        cp.wait()
+        o_ref[:, :] = buf_ref[:, :]
+
+    rng = np.random.default_rng(13)
+    x = rng.random((512, 1280), np.float32)
+    offs = jnp.asarray([37, 411], jnp.int32)  # deliberately unaligned
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(jnp.asarray(x), offs)
+    want = x[37:53, 411:539]
+    err = float(np.max(np.abs(np.asarray(out) - want)))
+    print(f"  dyn-2d DMA max abs err {err:.3e}")
+    assert err < 1e-6, err
+
+
 PROBES = [
     ("reduce_max", probe_reduce_max),
     ("argmax_tiebreak", probe_argmax_tiebreak),
@@ -302,6 +683,15 @@ PROBES = [
     ("fused_multitile", probe_fused_multitile),
     ("vmap_fused", probe_vmap_fused),
     ("dot_high_emul", probe_dot_high_emul),
+    ("dot_rhs_lane", probe_dot_rhs_lane),
+    ("scratch_carry", probe_scratch_carry),
+    ("dyn_hbm_dma", probe_dyn_hbm_dma),
+    ("when_heavy", probe_when_heavy),
+    ("roll_static", probe_roll_static),
+    ("roll_strided", probe_roll_strided),
+    ("shear_dot", probe_shear_dot),
+    ("u8_convert", probe_u8_convert),
+    ("dma_dyn_2d", probe_dma_dyn_2d),
 ]
 
 

@@ -17,10 +17,40 @@ Rungs (all scanned over real synthetic frames, chunk 256):
                threaded through the scan carry (STALE operator: trajectory is
                numerically wrong, timing-only rung)
   full       — the real headline step (build + kernel + EMA)
+  glue_only  — ema_only + the region slice + u8->f32 convert + pad (the
+               XLA ops that FEED the kernel), kernel skipped
+  kernel_scan— a carry-free scan calling the bare fused pallas_call on ONE
+               pre-staged (img_pad, toep, scalars, win) every step: the
+               per-step cost of the kernel itself incl. launch + DMA
 
 Interpretation: full - no_build ~= in-scan build cost; no_build - ema_only
 ~= kernel (incl. operator DMA) + region slice; build_only - ema_only is the
-build cost measured additively (cross-check).
+build cost measured additively (cross-check); glue_only - ema_only vs
+kernel_scan - empty split the kernel+slice bucket into XLA feeding ops vs
+the pallas_call proper.
+
+First run (2026-08-17, 1024 frames chunk 256, /tmp/rsb.log): empty 32.4,
+ema_only 34.4, build_only 87.9, no_build 79.3, full 95.5 us/frame =>
+floor 32.4 | EMA+stats 2.0 | kernel+slice 44.9 | in-scan build 16.2.
+The pallas_fast engine A/B (3-pass hi/lo dot, half the matmul passes and
+operator-DMA bytes) moved the headline only 85.0 -> 82.3 us/frame, so the
+44.9 us kernel+slice bucket is NOT matmul-pass-bound — hence these two
+extra rungs.
+
+Second run with the extra rungs (/tmp/rsb3.log): glue(glue_only-ema_only)
+= 0.1-2.4 us — the XLA feeding ops are nearly free — and
+bare_kernel(kernel_scan-empty) = 41.0 us.  NOTE the LICM trap: with
+loop-invariant kernel inputs XLA hoists the whole pallas_call out of the
+scan (first attempt measured kernel_scan BELOW the empty floor); the rung
+perturbs the image by acc*1e-30 to force per-step execution.  So the
+41-us pallas_call cost decomposes as ~13 us operator HBM->VMEM DMA
+(10.5 MB at ~800 GB/s) + ~11 us HIGHEST 6-pass MXU compute + ~17 us
+launch/entry/exit overhead.  Conclusion: the levers are (1) the shear
+kernel (pltpu.roll stride trick builds the transposed Toeplitz in
+registers from the raw 123 KB template — kills the build AND the operator
+DMA; tools/fused_argmax_probe.py roll_strided/shear_dot rungs) and
+(2) a chunk-level mega-kernel to amortize the launch overhead and the
+scan dispatch floor.
 
 Usage: nohup python tools/region_step_breakdown.py > /tmp/rsb.log 2>&1 &
 """
@@ -168,6 +198,81 @@ def main(width=1280, height=720, templ=80, num_frames=1024, chunk=256,
         st2, out = real_step(st, frame)
         return st2, (out.bbox[:2], out.score)
 
+    def step_glue_only(st, frame):
+        # Everything that feeds the kernel — slice, convert, pad, scalar
+        # stacks — but no pallas_call; consume via jnp.sum at 1e-30 scale.
+        bounds, x0, y0 = window_and_origin(st)
+        region = lax.dynamic_slice(
+            frame, (y0, x0), (region_rows, region_cols)
+        )
+        region = ensure_gray_f32(region)
+        tc = st.template - st.t_mean
+        scalars = jnp.stack(
+            [st.t_mean, st.t_std, jnp.sum(tc), jnp.float32(th_ * tw_)]
+        ).reshape(1, 4)
+        win = jnp.stack(
+            [bounds.min_tx - x0, bounds.max_tx - x0,
+             bounds.min_ty - y0, bounds.max_ty - y0]
+        ).astype(jnp.int32).reshape(1, 4)
+        img_pad = jnp.pad(
+            region,
+            ((0, ty * gh + 8 * k_blocks - region_rows),
+             (0, (gw - 1) * npz.TX + tile_lanes - region_cols)),
+        )
+        bv = (
+            jnp.float32(1.0)
+            + (jnp.sum(img_pad) + jnp.sum(scalars) + jnp.sum(win))
+            * jnp.float32(1e-30)
+        )
+        st2, out = apply_update(
+            st, frame, bv, st.bbox_x, st.bbox_y,
+            jnp.bool_(False), jnp.bool_(False),
+            (height, width), (templ, templ), config,
+        )
+        return st2, (out.bbox[:2], out.score)
+
+    # kernel_scan: the bare fused pallas_call per step on ONE pre-staged
+    # input set — no frame read, no glue, no state update.  Its per-frame
+    # cost minus the empty floor is the pallas_call proper (launch +
+    # operator DMA + compute + partial-combine).
+    img_pad0 = jnp.pad(
+        ensure_gray_f32(
+            lax.dynamic_slice(
+                jnp.asarray(frames[1]), (0, 0), (region_rows, region_cols)
+            )
+        ),
+        ((0, ty * gh + 8 * k_blocks - region_rows),
+         (0, (gw - 1) * npz.TX + tile_lanes - region_cols)),
+    )
+    scalars0 = jnp.stack(
+        [state.t_mean, state.t_std, jnp.float32(0.0),
+         jnp.float32(th_ * tw_)]
+    ).reshape(1, 4)
+    win0 = jnp.asarray([[0, span - 1, 0, span - 1]], jnp.int32)
+
+    def step_kernel_scan(carry, frame):
+        del frame
+        acc, ip, tp, sc, wn = carry
+        # Defeat loop-invariant code motion: without per-step variation XLA
+        # hoists the whole pallas_call out of the scan (first run measured
+        # kernel_scan BELOW the empty floor).  Perturb the small image
+        # operand by the accumulator at 1e-30 scale — a data dependence on
+        # the previous step that changes results by nothing and costs one
+        # 53 KB elementwise pass.  The call then executes every step and
+        # DMAs ALL its inputs (incl. the invariant 10.5 MB operator).
+        ip = ip + acc * jnp.float32(1e-30)
+        vals, idxs = npz._ncc_argmax_padded(
+            ip, tp, sc, wn, th_, tw_, ty, interpret, True
+        )
+        v = vals.reshape(gh, 8, gw, npz.TX)[:, 0, :, 0]
+        ix = idxs.reshape(gh, 8, gw, npz.TX)[:, 0, :, 0]
+        m = jnp.max(v)
+        flat = jnp.min(jnp.where(v == m, ix, jnp.int32(2**30)))
+        acc = acc + m + flat.astype(jnp.float32) * jnp.float32(1e-9)
+        return (acc, ip, tp, sc, wn), (
+            jnp.stack([jnp.int32(0), jnp.int32(0)]), acc
+        )
+
     tc0 = state.template - state.t_mean
     toep0 = jax.jit(
         lambda t: npz._toeplitz_for(t, tile_lanes, True)
@@ -203,6 +308,11 @@ def main(width=1280, height=720, templ=80, num_frames=1024, chunk=256,
         "build_only": make_runner(step_build_only, state),
         "no_build": make_runner(step_no_build, (state, toep0)),
         "full": make_runner(step_full, state),
+        "glue_only": make_runner(step_glue_only, state),
+        "kernel_scan": make_runner(
+            step_kernel_scan,
+            (jnp.float32(0.0), img_pad0, toep0, scalars0, win0),
+        ),
     }
     for k, run in rungs.items():
         run(fetch=False)
@@ -237,6 +347,10 @@ def main(width=1280, height=720, templ=80, num_frames=1024, chunk=256,
             "kernel+slice(no_build-ema_only)": round(
                 f["no_build"] - f["ema_only"], 1),
             "ema+stats(ema_only-empty)": round(f["ema_only"] - f["empty"], 1),
+            "glue(glue_only-ema_only)": round(
+                f["glue_only"] - f["ema_only"], 1),
+            "bare_kernel(kernel_scan-empty)": round(
+                f["kernel_scan"] - f["empty"], 1),
         },
     }))
 
