@@ -69,6 +69,15 @@ MODE_TO_BACKEND = {
     # a measured per-clip property, guarded by bench.py's per-run
     # ground-truth check.
     "pallas_fast": "pallas_fast",
+    # Operator-free shear Pallas engine (round 3): the correlation operator
+    # is never materialized — per template row, a strided pltpu.roll of the
+    # broadcast row builds the transposed Toeplitz block in registers and a
+    # lane-contracting HIGHEST dot consumes it (ncc_pallas._score_tile,
+    # shear=True).  Eliminates the per-frame 10.5 MB operator build
+    # (~16 us) AND its HBM->VMEM DMA (~13 us) measured in
+    # tools/region_step_breakdown.py.  Full HIGHEST parity math.
+    "pallas_shear": "pallas_shear",
+    "shear": "pallas_shear",
     # Geometry-based engine choice (measured crossover, docs/PERFORMANCE.md):
     # the matmul engine wins at small search radii (r60/720p: 10.4k vs 5.5k
     # FPS) because the Pallas path pays a ~10.5 MB Toeplitz-operator rebuild
@@ -102,7 +111,8 @@ def prefer_pallas(templ_shape, span_x: int, span_y: int) -> bool:
 
 
 def _maybe_fused_argmax(
-    frame_shape, templ_shape, span_x: int, span_y: int, highest: bool = True
+    frame_shape, templ_shape, span_x: int, span_y: int, highest: bool = True,
+    shear: bool = False,
 ):
     """Fused on-chip argmax only when the candidate region fits ONE kernel
     tile (span <= 128 in both axes).  Measured on-chip (2026-08-17,
@@ -116,7 +126,8 @@ def _maybe_fused_argmax(
     if span_x > 128 or span_y > 128:
         return None
     return pallas_region_argmax_fn(
-        frame_shape, templ_shape, (span_y, span_x), highest=highest
+        frame_shape, templ_shape, (span_y, span_x), highest=highest,
+        shear=shear,
     )
 
 
@@ -176,30 +187,37 @@ def get_backend(
                     _maybe_fused_argmax(frame_shape, templ_shape, span_x, span_y),
                 )
         return get_backend("xla_fast", frame_shape, templ_shape, config)
-    if name in ("pallas", "pallas_fast"):
+    if name in ("pallas", "pallas_fast", "pallas_shear"):
         from pvot.ops.ncc_pallas import (
             pallas_full_fn,
             pallas_region_fn,
             pallas_supported,
         )
 
-        highest = name == "pallas"
+        highest = name != "pallas_fast"
+        shear = name == "pallas_shear"
         if pallas_supported(
-            frame_shape, templ_shape, (span_y, span_x), highest=highest
+            frame_shape, templ_shape, (span_y, span_x), highest=highest,
+            shear=shear,
         ):
             return (
                 # Global-search full maps stay HIGHEST even in the fast
                 # engine (rare path; mirrors xla_fast's full_fn).
-                pallas_full_fn(frame_shape, templ_shape),
+                pallas_full_fn(frame_shape, templ_shape, shear=shear),
                 pallas_region_fn(
-                    frame_shape, templ_shape, (span_y, span_x), highest=highest
+                    frame_shape, templ_shape, (span_y, span_x),
+                    highest=highest, shear=shear,
                 ),
                 _maybe_fused_argmax(
-                    frame_shape, templ_shape, span_x, span_y, highest=highest
+                    frame_shape, templ_shape, span_x, span_y, highest=highest,
+                    shear=shear,
                 ),
             )
         # Graceful fallback (see pallas_supported): same math, MXU matmul
-        # formulation (precision matching the requested engine tier).
+        # formulation (precision matching the requested engine tier), via
+        # the next tier down for the shear engine.
+        if name == "pallas_shear":
+            return get_backend("pallas", frame_shape, templ_shape, config)
         if name == "pallas_fast":
             return get_backend("xla_fast", frame_shape, templ_shape, config)
         from pvot.ops.ncc_matmul import make_full_fn, make_region_fn

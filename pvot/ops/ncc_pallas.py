@@ -87,7 +87,10 @@ def _dot_hl3(a, bh, bl):
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
-def _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest=True):
+def _score_tile(
+    img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest=True,
+    shear=False,
+):
     """Compute this grid step's (ty, TX) NCC score tile from VMEM refs.
 
     Shared by _ncc_kernel (writes the tile to the output map) and
@@ -99,11 +102,28 @@ def _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest=True):
     hi/lo bf16 decomposition (_dot_hl3) instead of HIGHEST's 6 passes —
     the fast-engine analog; the box-sum matmuls stay HIGHEST (they are
     ~1% of the FLOPs and feed the variance denominator).
+
+    shear=True is the round-3 OPERATOR-FREE formulation: toep_ref then
+    holds the raw zero-padded centered template rows (8K, M = L + TX,
+    ~123 KB) instead of the 10.5 MB phase-concatenated Toeplitz operator.
+    Per template row, a strided pltpu.roll of the broadcast row builds the
+    TRANSPOSED Toeplitz block tt[dx, l] = t_c[r, (l - dx) mod M] in
+    registers — the M - tw zero tail makes every wrapped index hit zero,
+    which IS the operator's 0-outside-[0,tw) semantics — and the
+    correlation consumes it immediately with a lane-contracting dot.
+    Nothing operator-sized ever touches HBM: no XLA build pass (16 us/frame
+    in-scan) and no operator DMA (~13 us/frame), measured in
+    tools/region_step_breakdown.py.  CAUTION (chip-verified,
+    tools/fused_argmax_probe.py dot_rhs_lane vs shear_dot): the same
+    lane-contracting dot with a REF-loaded RHS silently drops
+    precision=HIGHEST to single-pass bf16; the RHS must stay a rolled
+    VALUE.  shear currently implies highest=True.
     """
     i = pl.program_id(0)
     tx0 = pl.program_id(1) * TX
     tile_lanes = _round_up(TX + tw - 1, 128)
     k_blocks = -(-th // 8)
+    M = tile_lanes + TX
 
     acc = jnp.zeros((ty, TX), jnp.float32)
     bsum = jnp.zeros((ty, tile_lanes), jnp.float32)
@@ -111,7 +131,10 @@ def _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest=True):
     for k in range(k_blocks):  # static unroll
         w = img_ref[pl.ds(ty * i + 8 * k, ty + 8), pl.ds(tx0, tile_lanes)]
         wsq = w * w
-        if highest:  # f32 operator, 6-pass parity dot
+        if shear:  # operator-free: roll-and-consume per template row
+            t8 = toep_ref[pl.ds(8 * k, 8), :]
+            t1 = None
+        elif highest:  # f32 operator, 6-pass parity dot
             t1 = _dot_f32(w, toep_ref[pl.ds(k * tile_lanes, tile_lanes), :])
         else:  # bf16 hi/lo operator pair stacked on sublanes (hi block
             # first, lo block after all K hi blocks), 3-pass dot
@@ -125,7 +148,19 @@ def _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest=True):
         for p in range(8):
             if 8 * k + p >= th:  # zero-padded template rows: skip statically
                 break
-            acc = acc + t1[p : p + ty, p * TX : (p + 1) * TX]
+            if shear:
+                b = jnp.broadcast_to(t8[p : p + 1, :], (TX, M))
+                tt = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)
+                t1p = lax.dot_general(
+                    w,
+                    tt[:, :tile_lanes],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+                acc = acc + t1p[p : p + ty, :]
+            else:
+                acc = acc + t1[p : p + ty, p * TX : (p + 1) * TX]
             bsum = bsum + w[p : p + ty, :]
             bsq = bsq + wsq[p : p + ty, :]
     acc_sum = _dot_f32(bsum, box_ref[:, :])
@@ -152,6 +187,7 @@ def _ncc_kernel(
     tw: int,
     ty: int,
     highest: bool = True,
+    shear: bool = False,
 ):
     """Aligned-window MXU formulation.
 
@@ -191,7 +227,7 @@ def _ncc_kernel(
     accumulation, jnp.dot inside fori_loop.
     """
     out_ref[:, :] = _score_tile(
-        img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest
+        img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest, shear
     )
 
 
@@ -208,6 +244,7 @@ def _ncc_argmax_kernel(
     tw: int,
     ty: int,
     highest: bool = True,
+    shear: bool = False,
 ):
     """The north-star fused reduction (SURVEY.md §7 step 4): NCC scores,
     window masking, and the cv::minMaxLoc-compatible argmax all happen
@@ -228,7 +265,9 @@ def _ncc_argmax_kernel(
     i = pl.program_id(0)
     j = pl.program_id(1)
     gw = pl.num_programs(1)
-    s = _score_tile(img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest)
+    s = _score_tile(
+        img_ref, toep_ref, box_ref, scal_ref, th, tw, ty, highest, shear
+    )
     dy = ty * i + lax.broadcasted_iota(jnp.int32, (ty, TX), 0)
     dx = TX * j + lax.broadcasted_iota(jnp.int32, (ty, TX), 1)
     mask = (
@@ -286,6 +325,17 @@ def _toeplitz_operators(t_centered: jax.Array, tile_lanes: int):
     return win.reshape(k_blocks * L, 8 * TX)
 
 
+def _templ_rows(t_centered: jax.Array, tile_lanes: int) -> jax.Array:
+    """The shear kernel's template input: raw centered rows zero-padded to
+    (8*ceil(th/8), tile_lanes + TX) — ~123 KB at 80x80 vs the 10.5 MB
+    operator.  The M - tw zero tail doubles as the roll's wraparound
+    absorber (see _score_tile shear notes)."""
+    th, tw = t_centered.shape
+    k_blocks = -(-th // 8)
+    M = tile_lanes + TX
+    return jnp.pad(t_centered, ((0, 8 * k_blocks - th), (0, M - tw)))
+
+
 def _toeplitz_for(t_centered: jax.Array, tile_lanes: int, highest: bool):
     """The kernel's operator input at the requested precision tier.
 
@@ -314,7 +364,8 @@ def _box_operator(tile_lanes: int, tw: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("th", "tw", "ty", "interpret", "highest")
+    jax.jit,
+    static_argnames=("th", "tw", "ty", "interpret", "highest", "shear"),
 )
 def _ncc_pallas_padded(
     img_pad: jax.Array,
@@ -325,6 +376,7 @@ def _ncc_pallas_padded(
     ty: int = TY,
     interpret: bool = False,
     highest: bool = True,
+    shear: bool = False,
 ) -> jax.Array:
     """img_pad already padded so every tile's window read stays in bounds.
 
@@ -337,7 +389,9 @@ def _ncc_pallas_padded(
     gh = (img_pad.shape[0] - 8 * k_blocks) // ty
     gw = (img_pad.shape[1] - tile_lanes) // TX + 1
     box = jnp.asarray(_box_operator(tile_lanes, tw))
-    kernel = functools.partial(_ncc_kernel, th=th, tw=tw, ty=ty, highest=highest)
+    kernel = functools.partial(
+        _ncc_kernel, th=th, tw=tw, ty=ty, highest=highest, shear=shear
+    )
     # The phase-concatenated operator alone is K*L*8*TX*4 bytes (10.5 MB at
     # 80x80); with the image strip, per-k intermediates, and the enclosing
     # program's scoped buffers the default 16 MB scoped-VMEM limit can be
@@ -375,6 +429,7 @@ def ncc_map_pallas(
     interpret: bool = False,
     strip_rows: int = 256,
     highest: bool = True,
+    shear: bool = False,
 ) -> jax.Array:
     """Full valid-mode NCC map via the fused Pallas kernel.
 
@@ -386,6 +441,8 @@ def ncc_map_pallas(
     """
     from pvot.io.gray import ensure_gray_f32
 
+    if shear and not highest:
+        raise ValueError("shear kernel is HIGHEST-only (see _score_tile)")
     img = ensure_gray_f32(img)
     templ = templ.astype(jnp.float32)
     if t_mean is None or t_std is None:
@@ -396,7 +453,10 @@ def ncc_map_pallas(
     tile_lanes = _round_up(TX + tw - 1, 128)
 
     t_centered = templ - t_mean
-    toep = _toeplitz_for(t_centered, tile_lanes, highest)
+    if shear:
+        toep = _templ_rows(t_centered, tile_lanes)
+    else:
+        toep = _toeplitz_for(t_centered, tile_lanes, highest)
     scalars = jnp.stack(
         [t_mean, t_std, jnp.sum(t_centered), jnp.float32(th * tw)]
     ).reshape(1, 4)
@@ -420,7 +480,7 @@ def ncc_map_pallas(
             ),
         )
         out = _ncc_pallas_padded(
-            img_pad, toep, scalars, th, tw, ty, interpret, highest
+            img_pad, toep, scalars, th, tw, ty, interpret, highest, shear
         )
         return out[:s_out_h, :out_w]
 
@@ -436,7 +496,8 @@ def ncc_map_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("th", "tw", "ty", "interpret", "highest")
+    jax.jit,
+    static_argnames=("th", "tw", "ty", "interpret", "highest", "shear"),
 )
 def _ncc_argmax_padded(
     img_pad: jax.Array,
@@ -448,6 +509,7 @@ def _ncc_argmax_padded(
     ty: int,
     interpret: bool = False,
     highest: bool = True,
+    shear: bool = False,
 ):
     """Fused score+argmax over a padded candidate region.
 
@@ -459,7 +521,7 @@ def _ncc_argmax_padded(
     gw = (img_pad.shape[1] - tile_lanes) // TX + 1
     box = jnp.asarray(_box_operator(tile_lanes, tw))
     kernel = functools.partial(
-        _ncc_argmax_kernel, th=th, tw=tw, ty=ty, highest=highest
+        _ncc_argmax_kernel, th=th, tw=tw, ty=ty, highest=highest, shear=shear
     )
     vmem_budget = (
         4 * (img_pad.size + toep.size + box.size)
@@ -499,6 +561,7 @@ def ncc_region_argmax_pallas(
     t_std: jax.Array | None = None,
     interpret: bool = False,
     highest: bool = True,
+    shear: bool = False,
 ):
     """Fused local-search scorer+argmax: returns ONLY (best_val, x, y).
 
@@ -513,6 +576,8 @@ def ncc_region_argmax_pallas(
     """
     from pvot.io.gray import ensure_gray_f32
 
+    if shear and not highest:
+        raise ValueError("shear kernel is HIGHEST-only (see _score_tile)")
     region = ensure_gray_f32(region)
     templ = templ.astype(jnp.float32)
     if t_mean is None or t_std is None:
@@ -524,7 +589,10 @@ def ncc_region_argmax_pallas(
     k_blocks = -(-th // 8)
 
     t_centered = templ - t_mean
-    toep = _toeplitz_for(t_centered, tile_lanes, highest)
+    if shear:
+        toep = _templ_rows(t_centered, tile_lanes)
+    else:
+        toep = _toeplitz_for(t_centered, tile_lanes, highest)
     scalars = jnp.stack(
         [t_mean, t_std, jnp.sum(t_centered), jnp.float32(th * tw)]
     ).reshape(1, 4)
@@ -545,7 +613,7 @@ def ncc_region_argmax_pallas(
         ((0, ty * gh + 8 * k_blocks - h), (0, (gw - 1) * TX + tile_lanes - w)),
     )
     vals, idxs = _ncc_argmax_padded(
-        img_pad, toep, scalars, win, th, tw, ty, interpret, highest
+        img_pad, toep, scalars, win, th, tw, ty, interpret, highest, shear
     )
     # Per-tile partials -> global (val, x, y); same tie-break rule (the flat
     # index is row-major over global region coordinates).
@@ -572,27 +640,37 @@ def ncc_map_pallas_batched(
 _SUPPORT_CACHE: dict = {}
 
 
-def _probe_one(img_shape, templ_shape, seed: int = 0, highest: bool = True) -> None:
+def _probe_one(
+    img_shape, templ_shape, seed: int = 0, highest: bool = True,
+    shear: bool = False,
+) -> None:
     """Compile + numerics check of the fused kernel at EXACTLY this
-    geometry; raises on failure (caller records the verdict)."""
+    geometry; raises on failure (caller records the verdict).
+
+    Tolerance 1e-4, NOT 1e-3: this Mosaic can silently drop a dot's
+    precision request to single-pass bf16 (~1e-3 score error — chip repro
+    in tools/fused_argmax_probe.py dot_rhs_lane), and the probe must fail
+    that case.  HIGHEST agrees with the matmul engine to ~1e-6 and the
+    hi/lo fast tier to ~1e-5, so 1e-4 keeps real engines passing."""
     import numpy as _np
 
     rng = _np.random.default_rng(seed)
     img = jnp.asarray(rng.random(img_shape, dtype=_np.float32))
     templ = jnp.asarray(rng.random(templ_shape, dtype=_np.float32))
-    got = ncc_map_pallas(img, templ, highest=highest)
+    got = ncc_map_pallas(img, templ, highest=highest, shear=shear)
     from pvot.ops.ncc_matmul import ncc_map_matmul
 
     want = ncc_map_matmul(img, templ)
     err = float(jnp.max(jnp.abs(got - want)))
-    if not err < 1e-3:  # also rejects NaN
+    if not err < 1e-4:  # also rejects NaN
         raise ValueError(
             f"numerics: max abs err {err} at {img_shape}/{templ_shape}"
         )
 
 
 def _probe_argmax(
-    templ_shape, span_shape, seed: int = 0, highest: bool = True
+    templ_shape, span_shape, seed: int = 0, highest: bool = True,
+    shear: bool = False,
 ) -> None:
     """Compile + numerics check of the fused argmax kernel at the served
     region geometry; raises on failure."""
@@ -614,10 +692,10 @@ def _probe_argmax(
     )
     want = masked_region_argmax(ncc_map_matmul(region, templ), x0, y0, bounds)
     got = ncc_region_argmax_pallas(
-        region, templ, bounds, x0, y0, highest=highest
+        region, templ, bounds, x0, y0, highest=highest, shear=shear
     )
     if not (
-        abs(float(got[0]) - float(want[0])) < 1e-3
+        abs(float(got[0]) - float(want[0])) < 1e-4
         and int(got[1]) == int(want[1])
         and int(got[2]) == int(want[2])
     ):
@@ -634,6 +712,7 @@ def pallas_supported(
     span_shape=None,
     strip_rows: int = 256,
     highest: bool = True,
+    shear: bool = False,
 ) -> bool:
     """Probe whether the fused kernel compiles AND computes correctly on the
     current backend — at the geometry it will actually serve.
@@ -655,11 +734,14 @@ def pallas_supported(
     Probe compiles hit the persistent compile cache on re-runs, and they
     are the same programs production would compile at first use anyway.
     """
-    key = (jax.default_backend(), frame_shape, templ_shape, span_shape, highest)
+    key = (
+        jax.default_backend(), frame_shape, templ_shape, span_shape, highest,
+        shear,
+    )
     if key not in _SUPPORT_CACHE:
         try:
             # smoke: kernel works at all (at the requested precision)
-            _probe_one((64, 256), (8, 8), highest=highest)
+            _probe_one((64, 256), (8, 8), highest=highest, shear=shear)
             if templ_shape is not None:
                 th, tw = templ_shape
                 if span_shape is not None:
@@ -668,12 +750,17 @@ def pallas_supported(
                         (span_y + th - 1, span_x + tw - 1),
                         templ_shape,
                         highest=highest,
+                        shear=shear,
                     )
-                    _probe_argmax(templ_shape, span_shape, highest=highest)
+                    _probe_argmax(
+                        templ_shape, span_shape, highest=highest, shear=shear
+                    )
                 if frame_shape is not None:
                     fh, fw = frame_shape
                     rows = min(fh - th + 1, strip_rows) + th - 1
-                    _probe_one((rows, fw), templ_shape, highest=highest)
+                    _probe_one(
+                        (rows, fw), templ_shape, highest=highest, shear=shear
+                    )
             ok = True
         except Exception:  # stash for diagnosis (tools/pallas_probe.py)
             import traceback
@@ -699,12 +786,15 @@ def pallas_full_fn(
     frame_shape: Tuple[int, int],
     templ_shape: Tuple[int, int],
     highest: bool = True,
+    shear: bool = False,
 ):
     """Backend adapter: full-map callable (frame, templ, t_mean, t_std)."""
     del frame_shape, templ_shape
 
     def full_fn(frame, templ, t_mean, t_std):
-        return ncc_map_pallas(frame, templ, t_mean, t_std, highest=highest)
+        return ncc_map_pallas(
+            frame, templ, t_mean, t_std, highest=highest, shear=shear
+        )
 
     return full_fn
 
@@ -714,6 +804,7 @@ def pallas_region_fn(
     templ_shape: Tuple[int, int],
     span_shape: Tuple[int, int],
     highest: bool = True,
+    shear: bool = False,
 ):
     """Backend adapter: fused local-search region scorer."""
     span_y, span_x = span_shape
@@ -723,7 +814,9 @@ def pallas_region_fn(
         region = lax.dynamic_slice(
             frame, (y0, x0), (span_y + th - 1, span_x + tw - 1)
         )
-        return ncc_map_pallas(region, templ, t_mean, t_std, highest=highest)
+        return ncc_map_pallas(
+            region, templ, t_mean, t_std, highest=highest, shear=shear
+        )
 
     return region_fn
 
@@ -733,6 +826,7 @@ def pallas_region_argmax_fn(
     templ_shape: Tuple[int, int],
     span_shape: Tuple[int, int],
     highest: bool = True,
+    shear: bool = False,
 ):
     """Backend adapter: fused region scorer + on-chip masked argmax.
 
@@ -747,7 +841,8 @@ def pallas_region_argmax_fn(
             frame, (y0, x0), (span_y + th - 1, span_x + tw - 1)
         )
         return ncc_region_argmax_pallas(
-            region, templ, bounds, x0, y0, t_mean, t_std, highest=highest
+            region, templ, bounds, x0, y0, t_mean, t_std,
+            highest=highest, shear=shear,
         )
 
     return region_argmax_fn

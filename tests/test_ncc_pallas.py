@@ -137,12 +137,14 @@ def test_geometry_keyed_probe_falls_back_gracefully(monkeypatch):
         backend = __import__("jax").default_backend()
         assert (
             npz._SUPPORT_CACHE[
-                (backend, (720, 1280), (80, 80), (121, 121), True)
+                (backend, (720, 1280), (80, 80), (121, 121), True, False)
             ]
             is False
         )
         assert (
-            npz._SUPPORT_CACHE[(backend, (60, 160), (8, 8), (21, 21), True)]
+            npz._SUPPORT_CACHE[
+                (backend, (60, 160), (8, 8), (21, 21), True, False)
+            ]
             is True
         )
     finally:
@@ -339,7 +341,7 @@ def test_pallas_fast_backend_resolution(monkeypatch):
     calls = []
 
     def fake_supported(frame_shape=None, templ_shape=None, span_shape=None,
-                       strip_rows=256, highest=True):
+                       strip_rows=256, highest=True, shear=False):
         calls.append(highest)
         return not highest  # fast probe passes, parity probe fails
 
@@ -357,3 +359,83 @@ def test_pallas_fast_backend_resolution(monkeypatch):
     )
     assert argmax_par is None  # parity probe failed -> matmul fallback
     assert calls == [False, True]
+
+
+def test_pallas_shear_matches_oracle(rng):
+    """The operator-free shear kernel (strided-roll transposed-Toeplitz in
+    registers, ncc_pallas._score_tile shear=True) must agree with the exact
+    oracle at f32-rounding grade: it runs the SAME HIGHEST dot as the
+    operator path, only with the RHS built by roll instead of DMA'd.
+    Odd geometry exercises the zero-tail wraparound absorber."""
+    for shape, tshape in [((64, 80), (16, 12)), ((57, 133), (9, 11)),
+                          ((200, 200), (80, 80))]:
+        frame = rng.random(shape).astype(np.float32)
+        templ = rng.random(tshape).astype(np.float32)
+        got = np.asarray(
+            ncc_map_pallas(
+                jnp.asarray(frame), jnp.asarray(templ), interpret=True,
+                shear=True,
+            )
+        )
+        want = bruteforce_reference_map(frame, templ)
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_pallas_shear_region_argmax_exact(rng):
+    """Shear fused argmax reproduces the masked-argmax oracle exactly
+    (value to f32 rounding, argmax bit-equal incl. row-major tie-break)."""
+    from pvot.ops.ncc_matmul import ncc_map_matmul
+    from pvot.ops.ncc_pallas import ncc_region_argmax_pallas
+    from pvot.ops.search import WindowBounds, masked_region_argmax
+
+    span, t = 121, 80
+    region = rng.random((span + t - 1, span + t - 1)).astype(np.float32)
+    templ = region[40 : 40 + t, 25 : 25 + t].copy()
+    region_j, templ_j = jnp.asarray(region), jnp.asarray(templ)
+    x0, y0 = jnp.int32(3), jnp.int32(9)
+    b = WindowBounds(x0, x0 + span - 1, y0, y0 + span - 1)
+    wv, wx, wy = masked_region_argmax(
+        ncc_map_matmul(region_j, templ_j), x0, y0, b
+    )
+    gv, gx, gy = ncc_region_argmax_pallas(
+        region_j, templ_j, b, x0, y0, interpret=True, shear=True
+    )
+    assert (int(gx), int(gy)) == (int(wx), int(wy)) == (25 + 3, 40 + 9)
+    np.testing.assert_allclose(float(gv), float(wv), atol=1e-5)
+
+
+def test_pallas_shear_rejects_fast_tier():
+    """shear is HIGHEST-only: the lane-contracting dot silently drops the
+    precision request when fed a ref-staged RHS (chip repro in
+    tools/fused_argmax_probe.py dot_rhs_lane), so the hi/lo fast tier is
+    not offered on the shear path."""
+    with pytest.raises(ValueError, match="HIGHEST-only"):
+        ncc_map_pallas(
+            jnp.zeros((32, 160), jnp.float32),
+            jnp.zeros((8, 8), jnp.float32),
+            interpret=True, highest=False, shear=True,
+        )
+
+
+def test_pallas_shear_backend_resolution(monkeypatch):
+    """'pallas_shear' resolves to the shear engine when its probe passes
+    and falls back to the operator 'pallas' engine when it fails."""
+    import pvot.ops.backends as backends_mod
+    import pvot.ops.ncc_pallas as ncc_pallas_mod
+    from pvot.config import TrackerConfig
+
+    calls = []
+
+    def fake_supported(frame_shape=None, templ_shape=None, span_shape=None,
+                       strip_rows=256, highest=True, shear=False):
+        calls.append(shear)
+        return not shear  # shear probe fails, operator probe passes
+
+    monkeypatch.setattr(ncc_pallas_mod, "pallas_supported", fake_supported)
+    cfg = TrackerConfig()
+    full_fn, region_fn, argmax_fn = backends_mod.get_backend(
+        "pallas_shear", (96, 160), (16, 16), cfg
+    )
+    # Fell back to the operator engine, which probed fine -> fused argmax.
+    assert argmax_fn is not None
+    assert calls == [True, False]

@@ -72,6 +72,9 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
         "pallas_fused": ("pallas", True),
         # Round-3b: in-kernel 3-pass bf16 hi/lo correlation (_dot_hl3).
         "pallas_fast_fused": ("pallas_fast", True),
+        # Round-3c: operator-free shear kernel (strided-roll Toeplitz in
+        # registers; no operator build, no operator DMA) at full HIGHEST.
+        "pallas_shear_fused": ("pallas_shear", True),
     }
     wanted = all_engines if engines == "all" else {
         k: all_engines[k] for k in engines.split(",")

@@ -310,7 +310,17 @@ def probe_dot_rhs_lane():
     dimension_numbers (((1,), (1,)), ((), ())).  The reshape-shear Toeplitz
     build (tools/toeplitz_build_bench.py build_shear_T) produces the
     operator TRANSPOSED — one fused broadcast+trim copy, no stacking — but
-    consuming it requires Mosaic to accept this contraction."""
+    consuming it requires Mosaic to accept this contraction.
+
+    CHIP VERDICT (2026-08-17): MISCOMPILES — compiles fine but returns
+    single-pass-bf16 accuracy (5.4e-2 abs) despite precision=HIGHEST, i.e.
+    the precision request is silently dropped when the RHS is a REF-LOADED
+    operand of a lane-contracting dot.  The same contraction with the RHS
+    built as a rolled broadcast VALUE keeps full HIGHEST accuracy
+    (shear_dot rung, rel 3.5e-7).  Production shear kernels must therefore
+    roll-and-consume in registers, never stage the transposed operator
+    through a ref — and their self-probe tolerance must be tight enough
+    (<=1e-4) to catch a silent precision drop."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -408,7 +418,11 @@ def probe_dyn_hbm_dma():
         def _():
             off_ref[0] = 0
 
-        off = off_ref[0]
+        # Offset kept in UNITS OF 8 ROWS and multiplied by 8 at use: Mosaic
+        # must statically prove HBM row offsets divisible by the (8, 128)
+        # tiling (first attempt with raw offsets failed to compile even
+        # though every runtime value was a multiple of 8).
+        off = off_ref[0] * 8
         cp = pltpu.make_async_copy(
             x_hbm.at[pl.ds(off, rows), :], buf_ref, sem
         )
@@ -416,15 +430,16 @@ def probe_dyn_hbm_dma():
         cp.wait()
         o_ref[:, :] = buf_ref[:, :]
         # next offset = this block's [0,0] value (planted integers)
-        off_ref[0] = off + buf_ref[0, 0].astype(jnp.int32)
+        off_ref[0] = off_ref[0] + buf_ref[0, 0].astype(jnp.int32)
 
     rng = np.random.default_rng(11)
     x = rng.random((1024, 256), np.float32)
-    # plant the offset chain: 0 -> 16 -> 48 -> 112 (deltas 16, 32, 64, ...)
+    # plant the offset chain in UNITS OF 8 ROWS: rows 0 -> 16 -> 48 -> 112
+    # (unit deltas 2, 4, 8 planted at each landing row)
     offs = [0]
     for d in (16, 32, 64):
         offs.append(offs[-1] + d)
-    for o, d in zip(offs, (16, 32, 64, 999)):
+    for o, d in zip(offs, (2, 4, 8, 999)):
         x[o, 0] = float(d)
     xj = jnp.asarray(x)
     out = pl.pallas_call(
@@ -468,10 +483,14 @@ def probe_when_heavy():
 
         @pl.when(flag_ref[0] == 1)
         def _():
+            # precision=HIGHEST required: the first chip run omitted it and
+            # "failed" at exactly single-pass-bf16 error — probe bug, not a
+            # Mosaic one.
             o_ref[:, :] = lax.dot_general(
                 a_ref[:, :], b_ref[:, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
             )
 
         flag_ref[0] = 1 - flag_ref[0]
@@ -607,6 +626,95 @@ def probe_shear_dot():
     assert rel < 1e-5, rel
 
 
+def probe_shear_dot_val():
+    """shear_dot with VALUE-level row slicing: the ref-level
+    t_ref[p : p + 1] slice at an arbitrary sublane offset is the construct
+    this Mosaic historically rejects ("cannot statically prove ... multiple
+    of 8"); here the whole (8, M) group loads once and rows are sliced as
+    VALUES (the pattern the production kernel's t1[p:p+ty] already proves
+    works)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, ty, tw = 256, 128, 80
+    M = L + TX
+
+    def kernel(w_ref, t_ref, o_ref):
+        acc = jnp.zeros((ty, TX), jnp.float32)
+        w = w_ref[:, :]
+        tval = t_ref[:, :]
+        for p in range(8):
+            b = jnp.broadcast_to(tval[p : p + 1, :], (TX, M))
+            tt = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)[:, :L]
+            t1 = lax.dot_general(
+                w, tt,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            acc = acc + t1[p : p + ty, :]
+        o_ref[:, :] = acc
+
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.random((ty + 8, L), np.float32))
+    t = np.zeros((8, M), np.float32)
+    t[:, :tw] = rng.random((8, tw), dtype=np.float32)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((ty, TX), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(w, jnp.asarray(t))
+    wn = np.asarray(w)
+    want = np.zeros((ty, TX), np.float32)
+    for p in range(8):
+        for dx in range(TX):
+            want[:, dx] += wn[p : p + ty, dx : dx + tw] @ t[p, :tw]
+    err = float(np.max(np.abs(np.asarray(out) - want)))
+    rel = err / float(np.max(np.abs(want)))
+    print(f"  shear-dot(val) max abs err {err:.3e} (rel {rel:.3e})")
+    assert rel < 1e-5, rel
+
+
+def probe_roll_traced():
+    """pltpu.roll with a TRACED (SMEM-scalar) shift on both axes — the
+    mega-kernel's slab aligner: HBM DMA offsets must be provably 8-row /
+    128-lane aligned (dma_dyn_2d chip verdict), so the kernel fetches an
+    aligned superset and rolls it into place by the data-dependent
+    residual.  Round-1 catalogue claims traced rolls fail under nested
+    fori; this probes the flat form."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(s_ref, x_ref, o_ref):
+        dy = s_ref[0]
+        dx = s_ref[1]
+        r = pltpu.roll(x_ref[:, :], dy, 0)
+        o_ref[:, :] = pltpu.roll(r, dx, 1)
+
+    rng = np.random.default_rng(21)
+    x = rng.random((64, 256), np.float32)
+    s = jnp.asarray([61, 213], jnp.int32)  # i.e. roll UP 3 rows, LEFT 43
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((64, 256), jnp.float32),
+    )(s, jnp.asarray(x))
+    want = np.roll(np.roll(x, 61, axis=0), 213, axis=1)
+    err = float(np.max(np.abs(np.asarray(out) - want)))
+    print(f"  traced roll max abs err {err:.3e}")
+    assert err == 0.0, err
+
+
 def probe_u8_convert():
     """uint8 VMEM load + f32 convert + scale in-kernel — the wire-dtype
     frame slab converted on-chip (mega-kernel ingredient; today the
@@ -617,7 +725,10 @@ def probe_u8_convert():
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(x_ref, o_ref):
-        o_ref[:, :] = x_ref[:, :].astype(jnp.float32) * jnp.float32(1 / 255)
+        # Direct u8->f32 is an unsupported Mosaic cast (first chip run);
+        # try the two-step u8 -> i32 -> f32 ladder.
+        xi = x_ref[:, :].astype(jnp.int32)
+        o_ref[:, :] = xi.astype(jnp.float32) * jnp.float32(1 / 255)
 
     rng = np.random.default_rng(12)
     x = jnp.asarray(rng.integers(0, 256, (32, 256), np.uint8))
@@ -643,8 +754,8 @@ def probe_dma_dyn_2d():
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(x_hbm, off_ref, o_ref, buf_ref, sem):
-        ro = off_ref[0]
-        co = off_ref[1]
+        ro = off_ref[0] * 8  # rows: provably 8-aligned (Mosaic requires it)
+        co = off_ref[1]  # lanes: deliberately unaligned
         cp = pltpu.make_async_copy(
             x_hbm.at[pl.ds(ro, 16), pl.ds(co, 128)], buf_ref, sem
         )
@@ -654,7 +765,7 @@ def probe_dma_dyn_2d():
 
     rng = np.random.default_rng(13)
     x = rng.random((512, 1280), np.float32)
-    offs = jnp.asarray([37, 411], jnp.int32)  # deliberately unaligned
+    offs = jnp.asarray([5, 411], jnp.int32)  # rows 5*8=40; lanes unaligned
     out = pl.pallas_call(
         kernel,
         in_specs=[
@@ -668,7 +779,7 @@ def probe_dma_dyn_2d():
             pltpu.SemaphoreType.DMA,
         ],
     )(jnp.asarray(x), offs)
-    want = x[37:53, 411:539]
+    want = x[40:56, 411:539]
     err = float(np.max(np.abs(np.asarray(out) - want)))
     print(f"  dyn-2d DMA max abs err {err:.3e}")
     assert err < 1e-6, err
@@ -689,7 +800,9 @@ PROBES = [
     ("when_heavy", probe_when_heavy),
     ("roll_static", probe_roll_static),
     ("roll_strided", probe_roll_strided),
+    ("roll_traced", probe_roll_traced),
     ("shear_dot", probe_shear_dot),
+    ("shear_dot_val", probe_shear_dot_val),
     ("u8_convert", probe_u8_convert),
     ("dma_dyn_2d", probe_dma_dyn_2d),
 ]
