@@ -785,6 +785,101 @@ def probe_dma_dyn_2d():
     assert err < 1e-6, err
 
 
+def probe_dma_3d_lead():
+    """DMA from a 3D HBM array with a TRACED leading (frame) index plus
+    aligned dynamic row/lane offsets — the mega-kernel's per-grid-step
+    frame-slab fetch from the (F, H, W) chunk."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_hbm, off_ref, o_ref, buf_ref, sem):
+        t = pl.program_id(0)
+        ro = off_ref[0] * 8
+        co = off_ref[1] * 128
+        cp = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(ro, 16), pl.ds(co, 128)], buf_ref, sem
+        )
+        cp.start()
+        cp.wait()
+        o_ref[:, :] = buf_ref[:, :]
+
+    rng = np.random.default_rng(17)
+    x = rng.random((3, 128, 512), np.float32)
+    offs = jnp.asarray([5, 2], jnp.int32)  # rows 40, lanes 256
+    out = pl.pallas_call(
+        kernel,
+        grid=(3,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((16, 128), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * 16, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(jnp.asarray(x), offs)
+    want = x[:, 40:56, 256:384].reshape(3 * 16, 128)
+    err = float(np.max(np.abs(np.asarray(out) - want)))
+    print(f"  3d-lead DMA max abs err {err:.3e}")
+    assert err < 1e-6, err
+
+
+def probe_dma_u8_slab():
+    """uint8 slab DMA from a 3D HBM frame stack (traced leading index,
+    32-aligned rows — the u8 HBM tiling is (32, 128) — 128-aligned lanes)
+    into u8 VMEM scratch, converted in-kernel via the u8 -> i32 -> f32
+    ladder.  The mega-kernel's wire-dtype frame path."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_hbm, off_ref, o_ref, buf_ref, sem):
+        t = pl.program_id(0)
+        ro = off_ref[0] * 32
+        co = off_ref[1] * 128
+        cp = pltpu.make_async_copy(
+            x_hbm.at[t, pl.ds(ro, 64), pl.ds(co, 256)], buf_ref, sem
+        )
+        cp.start()
+        cp.wait()
+        o_ref[:, :] = (
+            buf_ref[:, :].astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1 / 255)
+        )
+
+    rng = np.random.default_rng(19)
+    x = rng.integers(0, 256, (2, 256, 640), np.uint8)
+    offs = jnp.asarray([3, 1], jnp.int32)  # rows 96, lanes 128
+    out = pl.pallas_call(
+        kernel,
+        grid=(2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((64, 256), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * 64, 256), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((64, 256), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(jnp.asarray(x), offs)
+    want = (
+        x[:, 96:160, 128:384].reshape(2 * 64, 256).astype(np.float32)
+        * np.float32(1 / 255)
+    )
+    err = float(np.max(np.abs(np.asarray(out) - want)))
+    print(f"  u8 slab DMA+convert max abs err {err:.3e}")
+    assert err == 0.0, err
+
+
 PROBES = [
     ("reduce_max", probe_reduce_max),
     ("argmax_tiebreak", probe_argmax_tiebreak),
@@ -805,6 +900,8 @@ PROBES = [
     ("shear_dot_val", probe_shear_dot_val),
     ("u8_convert", probe_u8_convert),
     ("dma_dyn_2d", probe_dma_dyn_2d),
+    ("dma_3d_lead", probe_dma_3d_lead),
+    ("dma_u8_slab", probe_dma_u8_slab),
 ]
 
 
