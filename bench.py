@@ -45,17 +45,20 @@ def run_bench(
     # chunk 512 measured ~3% over 256 (fewer dispatch boundaries/frame);
     # see docs/PERFORMANCE.md "Saturation point".
     chunk_size: int = 512,
-    # "pallas" = the fused Pallas engine (round 3): NCC scores, window
-    # masking, and the argmax reduce on-chip so only (val, x, y) leaves the
-    # kernel, with the direct slice-stack Toeplitz build.  Measured on-chip
-    # 11,862 FPS vs 10,924 for the round-2 "fast" matmul engine at this
-    # geometry — at full HIGHEST (exact-f32) precision, trajectories
-    # bit-equal to the HIGHEST matmul engine (tools/engine_ab_bench.py).
-    # If the Pallas probe fails on this backend (Mosaic regression), the
-    # registry falls back to the matmul formulation automatically.  The
-    # bench validates the tracked trajectory against ground truth either
-    # way.
-    backend: str = "pallas",
+    # "pallas_shear" = the operator-free shear Pallas engine (round 3):
+    # NCC scores, window masking, and the argmax reduce on-chip so only
+    # (val, x, y) leaves the kernel, and the correlation operator is never
+    # materialized — per template row a strided pltpu.roll builds the
+    # transposed Toeplitz block in registers (pvot.ops.ncc_pallas
+    # _score_tile, shear=True).  Measured on-chip 15,876 FPS vs 11,622
+    # (operator-Pallas) and 10,894 (matmul fast) at this geometry — at
+    # full HIGHEST (exact-f32) precision, trajectories bit-equal to the
+    # HIGHEST matmul engine (tools/engine_ab_bench.py).  If the Pallas
+    # probe fails on this backend (Mosaic regression), the registry falls
+    # back through operator-Pallas to the matmul formulation
+    # automatically.  The bench validates the tracked trajectory against
+    # ground truth either way.
+    backend: str = "pallas_shear",
 ) -> dict:
     from pvot.utils.jaxcache import enable_compilation_cache
 

@@ -396,7 +396,10 @@ def bench_mode_comparison(frames=512):
     if pallas_supported():
         rows.append(
             bench_tracking(
-                "mode_shared_720p", width=1280, height=720, backend="pallas",
+                # The reference's --shared/--const/--const_tiled alias —
+                # resolves to the shear Pallas engine since round 3c (with
+                # the probe-gated operator-Pallas -> matmul fallback chain).
+                "mode_shared_720p", width=1280, height=720, backend="shared",
                 num_frames=frames, chunk_size=min(frames, 512),
             )
         )
@@ -476,6 +479,12 @@ CONFIGS = {
     "7pb": lambda frames: bench_stream_sweep(sizes=(16,), backend="pallas"),
     "7pc": lambda frames: bench_stream_sweep(sizes=(32,), backend="pallas"),
     "7pd": lambda frames: bench_stream_sweep(sizes=(64,), backend="pallas"),
+    # Round-3c: the operator-free shear engine (the new default) on the
+    # same sweep.
+    "7sa": lambda frames: bench_stream_sweep(sizes=(8,), backend="pallas_shear"),
+    "7sb": lambda frames: bench_stream_sweep(sizes=(16,), backend="pallas_shear"),
+    "7sc": lambda frames: bench_stream_sweep(sizes=(32,), backend="pallas_shear"),
+    "7sd": lambda frames: bench_stream_sweep(sizes=(64,), backend="pallas_shear"),
     # Streams x batch combined (C10 parity semantics: one update / N frames).
     "8": lambda frames: bench_multi_stream(
         32, num_frames=128, chunk_size=16, frames_per_step=4

@@ -11,12 +11,13 @@ equivalents (SURVEY.md §2e):
                                          analog of the naive kernel)
   --cpu               "cpu"              cv::matchTemplate(TM_CCOEFF_NORMED)
                                          parity math, pure JAX
-  --shared            "pallas"           Pallas kernel, template resident in
-                                         VMEM (shared/const-memory analog)
-  --const             "pallas"           alias of the above — on TPU there is
+  --shared            "pallas_shear"     Pallas kernel, template resident in
+                                         VMEM (shared/const-memory analog);
+                                         operator-free shear formulation
+  --const             "pallas_shear"     alias of the above — on TPU there is
                                          no separate constant memory; VMEM
                                          residency covers both
-  --const_tiled       "pallas"           same kernel; frame tiles are staged
+  --const_tiled       "pallas_shear"     same kernel; frame tiles are staged
                                          through VMEM by the BlockSpec
                                          pipeline (the tiled analog)
   --batch=N           any + batching     leading frame axis (vmap) — see
@@ -47,9 +48,12 @@ MODE_TO_BACKEND = {
     "naive": "xla",
     "xla": "xla",
     "cpu": "cpu",
-    "shared": "pallas",
-    "const": "pallas",
-    "const_tiled": "pallas",
+    # The reference's VMEM-residency modes resolve to the fastest Pallas
+    # engine (shear); probe failure falls back to the operator-Pallas
+    # kernel and then the matmul formulation (see get_backend).
+    "shared": "pallas_shear",
+    "const": "pallas_shear",
+    "const_tiled": "pallas_shear",
     "pallas": "pallas",
     "batch": "xla",
     # pvot-native serving mode (no reference equivalent): the correlation
@@ -92,18 +96,21 @@ MODE_TO_BACKEND = {
 
 def prefer_pallas(templ_shape, span_x: int, span_y: int) -> bool:
     """auto-backend engine choice, re-measured round 3 on-chip
-    (tools/engine_ab_bench.py, within-process A/Bs): the Pallas engine wins
-    or ties the matmul engine at EVERY tested geometry —
-      720p/t80/r60  (fused)   84.3 vs 91.6  us/frame
-      720p/t80/r20  (fused)   83.8 vs 104.0
-      1080p/t160/r160 (unfused) 878 vs 2401
-      720p/t32/r60  (fused)   70.4 vs 69.6  (tie, within relay noise)
+    (tools/engine_ab_bench.py, within-process A/Bs): the operator-free
+    SHEAR Pallas engine wins or ties everything at EVERY tested geometry
+    (FPS, trajectory-equal, shear vs operator-Pallas vs matmul_fast) —
+      720p/t80/r60  (headline)  15,876 vs 11,622 vs 10,894
+      720p/t80/r20              14,287 vs 14,265 vs 11,144
+      720p/t32/r60              25,615 vs 17,866 vs 18,577
+      1080p/t160/r160 (unfused)  1,304 vs  1,224 vs    428
     Round 2's matmul-wins-at-r60 crossover was an artifact of the Hankel
-    operator build (~80 us/frame in-scan), eliminated by the direct
-    slice-stack build.  The auto backend therefore always prefers the
-    Pallas engine; the geometry-keyed support probe (and its graceful
-    matmul fallback) remains the only gate.  The signature is kept so a
-    future re-measured crossover can slot back in."""
+    operator build (~80 us/frame in-scan); round 3's direct slice-stack
+    build killed that, and the shear formulation then removed the operator
+    entirely (no build pass, no operator DMA).  The auto backend therefore
+    always prefers the shear Pallas engine; the geometry-keyed support
+    probe (and its graceful operator-Pallas -> matmul fallback chain)
+    remains the only gate.  The signature is kept so a future re-measured
+    crossover can slot back in."""
     del templ_shape, span_x, span_y
     return True
 
@@ -171,21 +178,13 @@ def get_backend(
         )
     if name == "auto":
         if prefer_pallas(templ_shape, span_x, span_y):
-            from pvot.ops.ncc_pallas import (
-                pallas_full_fn,
-                pallas_region_fn,
-                pallas_supported,
-            )
-
-            # Probe at the geometry this backend will serve (round-2
+            # Shear engine first; its own probe failure falls through to the
+            # operator-Pallas engine and then the matmul engines (the
+            # "pallas_shear" branch below encodes that chain).  Probing
+            # happens at the geometry this backend will serve (round-2
             # verdict: a tiny-geometry probe passes while large-geometry
             # Mosaic/VMEM failures explode mid-run).
-            if pallas_supported(frame_shape, templ_shape, (span_y, span_x)):
-                return (
-                    pallas_full_fn(frame_shape, templ_shape),
-                    pallas_region_fn(frame_shape, templ_shape, (span_y, span_x)),
-                    _maybe_fused_argmax(frame_shape, templ_shape, span_x, span_y),
-                )
+            return get_backend("pallas_shear", frame_shape, templ_shape, config)
         return get_backend("xla_fast", frame_shape, templ_shape, config)
     if name in ("pallas", "pallas_fast", "pallas_shear"):
         from pvot.ops.ncc_pallas import (

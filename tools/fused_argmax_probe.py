@@ -880,6 +880,102 @@ def probe_dma_u8_slab():
     assert err == 0.0, err
 
 
+def probe_scalar_align():
+    """Bit ops on SMEM-scalar i32 values: shift-based and mask-based
+    align-down (the mega-kernel computes its DMA offsets ya = y0 & ~31,
+    xa = x0 & ~127 from bbox state; Mosaic rejects in-kernel integer
+    DIVISION, so alignment must come from shifts/ands)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(s_ref, o_ref):
+        y0 = s_ref[0]
+        x0 = s_ref[1]
+        ya_shift = (y0 >> 5) << 5
+        xa_mask = x0 & jnp.int32(~127)
+        ry = y0 - ya_shift
+        rx = x0 - xa_mask
+        vec = (
+            ya_shift * (lax_iota() == 0)
+            + xa_mask * (lax_iota() == 1)
+            + ry * (lax_iota() == 2)
+            + rx * (lax_iota() == 3)
+        )
+        o_ref[:, :] = vec
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    def lax_iota():
+        return lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    s = jnp.asarray([517, 1233], jnp.int32)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+    )(s)
+    got = np.asarray(out)[0, :4]
+    want = np.array([512, 1152, 5, 81], np.int32)
+    print(f"  scalar-align got {got.tolist()} want {want.tolist()}")
+    assert (got == want).all(), got
+
+
+def probe_when_dma():
+    """HBM->VMEM slab DMA *inside* a pl.when gated on a scratch scalar —
+    the mega-kernel skips the fetch entirely once a chunk is poisoned
+    (global-search fallback) or past the valid tail."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_hbm, o_ref, buf_ref, flag_ref, sem):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            flag_ref[0] = 1
+
+        o_ref[:, :] = jnp.zeros_like(o_ref)
+
+        @pl.when(flag_ref[0] == 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[t, pl.ds(8, 16), pl.ds(128, 128)], buf_ref, sem
+            )
+            cp.start()
+            cp.wait()
+            o_ref[:, :] = buf_ref[:, :]
+
+        flag_ref[0] = 1 - flag_ref[0]
+
+    rng = np.random.default_rng(23)
+    x = rng.random((4, 64, 384), np.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(4,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((16, 128), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4 * 16, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((16, 128), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(jnp.asarray(x))
+    want = x[:, 8:24, 128:256].copy()
+    want[1] = 0.0
+    want[3] = 0.0
+    err = float(np.max(np.abs(np.asarray(out).reshape(4, 16, 128) - want)))
+    print(f"  when-gated DMA max abs err {err:.3e}")
+    assert err < 1e-6, err
+
+
 PROBES = [
     ("reduce_max", probe_reduce_max),
     ("argmax_tiebreak", probe_argmax_tiebreak),
@@ -902,6 +998,8 @@ PROBES = [
     ("dma_dyn_2d", probe_dma_dyn_2d),
     ("dma_3d_lead", probe_dma_3d_lead),
     ("dma_u8_slab", probe_dma_u8_slab),
+    ("scalar_align", probe_scalar_align),
+    ("when_dma", probe_when_dma),
 ]
 
 
