@@ -1,0 +1,445 @@
+"""The MEGA-KERNEL: an entire tracking chunk inside ONE pallas_call.
+
+Every engine so far runs the per-frame state machine as XLA glue around a
+per-frame Pallas kernel inside a lax.scan.  tools/region_step_breakdown.py
+measured that glue + per-step dispatch at ~32 us/frame (chunk 256) — about
+half the shear engine's 63 us/frame total at the headline geometry.  This
+module moves the WHOLE local-mode tracking loop on-chip:
+
+    grid = (frames,)   — TPU grid steps run sequentially on one core, so
+                         scratch memory IS the loop carry (chip-verified:
+                         tools/fused_argmax_probe.py scratch_carry)
+    state              — bbox/lost/flags in SMEM scratch, adaptive template
+                         in VMEM scratch
+    per frame          — the kernel computes the clamped search window from
+                         its own bbox state, DMAs an aligned uint8 slab of
+                         the frame out of HBM (dma_u8_slab probe), aligns it
+                         with a traced two-axis pltpu.roll (roll_traced
+                         probe), scores it with the operator-free shear
+                         formulation (ncc_pallas._score_tile shear notes),
+                         reduces the masked argmax on-chip, applies the
+                         confidence gate + bbox update + template EMA, and
+                         emits one (8, 128) output row-tile
+    leaves the chip    — 4 KB of per-frame scalars per 8-row tile and the
+                         final template.  Frames enter as uint8; no score
+                         map, no operator, and no f32 frame copy ever touch
+                         HBM.
+
+Global search cannot run in here (it needs full-frame strips), so the state
+machine's global branches POISON the chunk instead: a sticky flag freezes
+state, the remaining grid steps emit tombstones, and the host driver
+(pvot.tracker.mega) transactionally re-runs the chunk through the XLA scan
+path — the semantics stay exactly the reference's
+(tracker_ghc/src/main.cpp:399-467), the mega path is just a fast commit for
+the overwhelmingly common all-local case.
+
+Parity note: scores are computed by the same shear math as the pallas_shear
+engine (bit-equal given equal inputs — the MXU contraction sees the same
+nonzero lanes in the same order regardless of the slab's roll alignment,
+and 0.0 contributions are exact).  The in-kernel template-stats recompute
+(mean/std/sum_tc after an EMA hit) necessarily uses a different f32
+reduction ORDER than XLA's template_stats, so trajectory identity vs the
+per-frame engines is a measured per-clip property (like the fast engines'),
+guarded by the driver-level numerics probe and the fuzz tests.  Chunk
+boundaries re-canonicalize: the driver recomputes stats from the final
+template bits via template_stats, so chunk-start states match the XLA path
+bit-for-bit whenever the trajectory agrees.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pvot.config import TrackerConfig
+from pvot.ops.ncc_pallas import TX, _box_operator, _round_up
+
+ROW_ALIGN = 32  # uint8 HBM tile is (32, 128): row DMA offsets align to 32
+LANE_ALIGN = 128
+BIG = 2**30
+
+# Output row-tile lane layout (row 0 of each frame's (8, TX) tile).
+O_BX, O_BY, O_BW, O_BH, O_SCORE, O_UPDATED, O_POISON, O_LOST, O_USEG = range(9)
+
+
+class MegaGeometry:
+    """Static shapes shared by the kernel and its driver."""
+
+    def __init__(self, frame_shape, templ_shape, config: TrackerConfig):
+        self.frame_h, self.frame_w = frame_shape
+        self.th, self.tw = templ_shape
+        self.out_h = self.frame_h - self.th + 1
+        self.out_w = self.frame_w - self.tw + 1
+        self.span_x = 2 * config.search_radius_x + 1
+        self.span_y = 2 * config.search_radius_y + 1
+        self.k_blocks = -(-self.th // 8)
+        self.rows8 = 8 * self.k_blocks
+        self.tile_lanes = _round_up(TX + self.tw - 1, 128)
+        self.m_lanes = self.tile_lanes + TX  # shear template width
+        self.ty = _round_up(self.span_y, 8)
+        # Slab: the aligned uint8 superset the kernel DMAs per frame.  The
+        # score pass reads ty + rows8 rows / tile_lanes lanes after the
+        # residual roll; alignment adds up to ROW_ALIGN-1 / LANE_ALIGN-1.
+        self.slab_h = _round_up(self.ty + self.rows8 + ROW_ALIGN - 1, ROW_ALIGN)
+        self.slab_w = _round_up(self.tile_lanes + LANE_ALIGN - 1, LANE_ALIGN)
+        # Padded frame extents so every aligned slab read is in bounds:
+        # the largest aligned origin is align_down(out - span), and padding
+        # may only ever ADD pixels (zeros) past the real frame.
+        max_ya = ((self.out_h - self.span_y) // ROW_ALIGN) * ROW_ALIGN
+        max_xa = ((self.out_w - self.span_x) // LANE_ALIGN) * LANE_ALIGN
+        self.pad_h = max(self.frame_h, max_ya + self.slab_h)
+        self.pad_w = max(self.frame_w, max_xa + self.slab_w)
+
+    def supported(self) -> bool:
+        """v1 envelope: single-tile search span, template within one lane
+        tile / 16 row groups.  Everything else stays on the scan engines."""
+        return (
+            self.span_x <= TX
+            and self.ty <= 128
+            and self.th <= 128
+            and self.tw <= TX
+            and self.out_h >= self.span_y
+            and self.out_w >= self.span_x
+        )
+
+
+def _mega_kernel(
+    # inputs
+    frames_hbm,  # (F, pad_h, pad_w) uint8 in HBM/ANY
+    tpl0_ref,  # (rows8, m_lanes) f32 VMEM: initial RAW template, zero-padded
+    box_ref,  # (tile_lanes, TX) f32 VMEM: ones-row Toeplitz (box sums)
+    sf0_ref,  # (8,) f32 SMEM: [t_mean, t_std, sum_tc, ...]
+    si0_ref,  # (8,) i32 SMEM: [bx, by, bw, bh, lost, use_global, n_valid, _]
+    # outputs
+    out_ref,  # (8, TX) f32 per frame: committed state + score/flags (row 0)
+    tplout_ref,  # (rows8, m_lanes) f32: final template (written at t = F-1)
+    # scratch
+    slab_ref,  # (slab_h, slab_w) uint8 VMEM
+    tpl_ref,  # (rows8, m_lanes) f32 VMEM: live template
+    sf_ref,  # (4,) f32 SMEM: [t_mean, t_std, sum_tc, _]
+    si_ref,  # (8,) i32 SMEM: [bx, by, bw, bh, lost, use_global, poison, _]
+    sem,
+    *,
+    g: MegaGeometry,
+    config: TrackerConfig,
+):
+    t = pl.program_id(0)
+    num_t = pl.num_programs(0)
+    th, tw, ty = g.th, g.tw, g.ty
+    tile_lanes, m_lanes = g.tile_lanes, g.m_lanes
+    n = float(th * tw)
+    lr = float(config.template_update_lr)
+    half_w, half_h = tw // 2, th // 2
+    rx, ry = int(config.search_radius_x), int(config.search_radius_y)
+
+    @pl.when(t == 0)
+    def _():
+        tpl_ref[:, :] = tpl0_ref[:, :]
+        sf_ref[0] = sf0_ref[0]
+        sf_ref[1] = sf0_ref[1]
+        sf_ref[2] = sf0_ref[2]
+        for i in range(6):
+            si_ref[i] = si0_ref[i]
+        si_ref[6] = 0  # poison
+        si_ref[7] = 0
+
+    bx, by = si_ref[0], si_ref[1]
+    bw, bh = si_ref[2], si_ref[3]
+    lost, useg = si_ref[4], si_ref[5]
+    poisoned = si_ref[6]
+    n_valid = si0_ref[6]
+
+    # --- Mode selection (pvot.tracker.step / main.cpp:399-413); >> 1
+    # replaces // 2 (non-negative here; Mosaic rejects in-kernel division,
+    # probe catalogue) ------------------------------------------------------
+    cx = bx + (bw >> 1)
+    cy = by + (bh >> 1)
+    center_out = (cx < 0) | (cx >= g.frame_w) | (cy < 0) | (cy >= g.frame_h)
+    box_out = (
+        (bx + bw < 0) | (bx >= g.frame_w) | (by + bh < 0) | (by >= g.frame_h)
+    )
+    outside = center_out | box_out
+    if config.enable_global_search:
+        use_global = (
+            (useg == 1)
+            | outside
+            | (lost >= int(config.lost_frame_threshold))
+        )
+    else:
+        use_global = jnp.bool_(False)
+    min_tx = jnp.maximum(0, cx - rx - half_w)
+    max_tx = jnp.minimum(g.out_w - 1, cx + rx - half_w)
+    min_ty = jnp.maximum(0, cy - ry - half_h)
+    max_ty = jnp.minimum(g.out_h - 1, cy + ry - half_h)
+    window_valid = (max_tx >= min_tx) & (max_ty >= min_ty)
+    global_argmax = use_global | ~window_valid
+
+    frame_valid = t < n_valid
+    poison_now = (poisoned == 1) | (global_argmax & frame_valid)
+    si_ref[6] = poison_now.astype(jnp.int32)
+    commit = frame_valid & ~poison_now
+
+    # --- Aligned slab fetch (probes: dma_u8_slab, scalar_align) ------------
+    x0 = jnp.minimum(min_tx, g.out_w - g.span_x)
+    y0 = jnp.minimum(min_ty, g.out_h - g.span_y)
+    # Align-down as block-index * alignment: Mosaic's tile-divisibility
+    # proof tracks `idx * 32` but NOT `(idx >> 5) << 5` — the shift form
+    # fails to compile ("Failed to prove that a tile index in dimension 1
+    # is divisible by the tiling (8)", /tmp/mega_ab2.log repro) even though
+    # the dma_u8_slab probe's multiply form passes on the same chip.
+    ya = (y0 >> 5) * ROW_ALIGN
+    xa = (x0 >> 7) * LANE_ALIGN
+    cp = pltpu.make_async_copy(
+        frames_hbm.at[t, pl.ds(ya, g.slab_h), pl.ds(xa, g.slab_w)],
+        slab_ref,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+    # Wire-dtype conversion on-chip (exactly ensure_gray_f32's math; the
+    # u8 -> i32 -> f32 ladder — Mosaic has no direct u8 -> f32 cast,
+    # tools/fused_argmax_probe.py u8_convert/dma_u8_slab), then
+    # roll the alignment residual away so slab row/lane 0 is map position
+    # (y0, x0) — identical to the per-frame engines' region slice.  Roll
+    # wraparound garbage lands beyond the rows/lanes any valid window or
+    # masked-in score position reads (see module docstring).
+    slab = (
+        slab_ref[:, :].astype(jnp.int32).astype(jnp.float32)
+        * jnp.float32(1.0 / 255.0)
+    )
+    slab = pltpu.roll(slab, g.slab_h - (y0 - ya), 0)
+    slab = pltpu.roll(slab, g.slab_w - (x0 - xa), 1)
+
+    # --- NCC scores: the shear formulation on value slices (mirrors
+    # ncc_pallas._score_tile shear=True; kept in sync by
+    # tests/test_mega.py::test_mega_matches_xla_*) ---------------------------
+    t_mean, t_std_in, sum_tc = sf_ref[0], sf_ref[1], sf_ref[2]
+    row8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 0)
+    col8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 1)
+    acc = jnp.zeros((ty, TX), jnp.float32)
+    bsum = jnp.zeros((ty, tile_lanes), jnp.float32)
+    bsq = jnp.zeros((ty, tile_lanes), jnp.float32)
+    for k in range(g.k_blocks):  # static unroll
+        w = slab[8 * k : 8 * k + ty + 8, :tile_lanes]
+        wsq = w * w
+        valid8 = ((8 * k + row8) < th) & (col8 < tw)
+        t8 = jnp.where(valid8, tpl_ref[pl.ds(8 * k, 8), :] - t_mean, 0.0)
+        for p in range(8):
+            if 8 * k + p >= th:
+                break
+            b = jnp.broadcast_to(t8[p : p + 1, :], (TX, m_lanes))
+            tt = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)
+            t1p = lax.dot_general(
+                w,
+                tt[:, :tile_lanes],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            acc = acc + t1p[p : p + ty, :]
+            bsum = bsum + w[p : p + ty, :]
+            bsq = bsq + wsq[p : p + ty, :]
+
+    def dot_f32(a, b):
+        return lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    acc_sum = dot_f32(bsum, box_ref[:, :])
+    acc_ssq = dot_f32(bsq, box_ref[:, :])
+    mean = acc_sum / n
+    var = acc_ssq / n - mean * mean
+    std = jnp.sqrt(jnp.maximum(var, 1e-6))
+    cov = acc - mean * sum_tc
+    s = cov / ((std + 1e-6) * (t_std_in + 1e-6) * n)
+
+    # --- Masked argmax, row-major first occurrence, division-free: smallest
+    # dy among maxima, then smallest dx within that dy ----------------------
+    dy = lax.broadcasted_iota(jnp.int32, (ty, TX), 0)
+    dx = lax.broadcasted_iota(jnp.int32, (ty, TX), 1)
+    mask = (
+        (dx >= min_tx - x0)
+        & (dx <= max_tx - x0)
+        & (dy >= min_ty - y0)
+        & (dy <= max_ty - y0)
+    )
+    masked = jnp.where(mask, s, -jnp.inf)
+    best_val = jnp.max(masked)
+    is_best = masked == best_val
+    bdy = jnp.min(jnp.where(is_best, dy, BIG))
+    bdx = jnp.min(jnp.where(is_best & (dy == bdy), dx, BIG))
+    best_x = x0 + bdx
+    best_y = y0 + bdy
+
+    # --- Confidence gate + bbox commit (apply_update; only the local
+    # threshold can apply here — a global frame poisoned above) -------------
+    accept = commit & (best_val >= jnp.float32(config.min_confidence))
+    new_bx = jnp.where(accept, best_x, bx)
+    new_by = jnp.where(accept, best_y, by)
+    new_bw = jnp.where(accept, tw, bw)
+    new_bh = jnp.where(accept, th, bh)
+    new_lost = jnp.where(
+        accept, 0, jnp.where(commit, lost + 1, lost)
+    )
+    si_ref[0] = new_bx
+    si_ref[1] = new_by
+    si_ref[2] = new_bw
+    si_ref[3] = new_bh
+    si_ref[4] = new_lost
+    # use_global stays 0 on the mega path: a set flag poisons the chunk
+    # before it could ever be consumed here.
+    si_ref[5] = jnp.where(commit, 0, useg)
+
+    # --- Template EMA + stats (apply_update / template_stats).  Overlay
+    # style: always compute, select on `strong` (the cond-vs-overlay
+    # measurement in pvot/tracker/step.py applies in-kernel too). -----------
+    strong = accept & (best_val >= jnp.float32(config.strong_confidence))
+    patch_rows = pltpu.roll(slab, g.slab_h - bdy, 0)
+    patch_full = pltpu.roll(patch_rows, g.slab_w - bdx, 1)
+    rowm = lax.broadcasted_iota(jnp.int32, (g.rows8, m_lanes), 0)
+    colm = lax.broadcasted_iota(jnp.int32, (g.rows8, m_lanes), 1)
+    tvalid = (rowm < th) & (colm < tw)
+    patch = jnp.where(tvalid, patch_full[: g.rows8, :m_lanes], 0.0)
+    tpl_old = tpl_ref[:, :]
+    tpl_new = (1.0 - lr) * tpl_old + lr * patch
+    tpl_upd = jnp.where(strong, tpl_new, tpl_old)
+    tpl_ref[:, :] = tpl_upd
+    total = jnp.sum(tpl_new)
+    mean_new = total / n
+    var_new = jnp.sum(tpl_new * tpl_new) / n - mean_new * mean_new
+    std_new = jnp.sqrt(jnp.maximum(var_new, 0.0)) + 1e-6
+    sum_tc_new = jnp.sum(jnp.where(tvalid, tpl_new - mean_new, 0.0))
+    sf_ref[0] = jnp.where(strong, mean_new, t_mean)
+    sf_ref[1] = jnp.where(strong, std_new, t_std_in)
+    sf_ref[2] = jnp.where(strong, sum_tc_new, sum_tc)
+
+    # --- Emit this frame's committed record ---------------------------------
+    lane = lax.broadcasted_iota(jnp.int32, (8, TX), 1)
+    f32 = jnp.float32
+    outvec = (
+        jnp.where(lane == O_BX, new_bx.astype(f32), 0.0)
+        + jnp.where(lane == O_BY, new_by.astype(f32), 0.0)
+        + jnp.where(lane == O_BW, new_bw.astype(f32), 0.0)
+        + jnp.where(lane == O_BH, new_bh.astype(f32), 0.0)
+        + jnp.where(lane == O_SCORE, best_val, 0.0)
+        + jnp.where(lane == O_UPDATED, accept.astype(f32), 0.0)
+        + jnp.where(lane == O_POISON, poison_now.astype(f32), 0.0)
+        + jnp.where(lane == O_LOST, new_lost.astype(f32), 0.0)
+        + jnp.where(lane == O_USEG, si_ref[5].astype(f32), 0.0)
+    )
+    out_ref[:, :] = outvec
+
+    @pl.when(t == num_t - 1)
+    def _():
+        tplout_ref[:, :] = tpl_ref[:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_shape", "templ_shape", "config", "interpret"),
+)
+def mega_track_chunk(
+    frames_u8: jax.Array,  # (F, H, W) uint8
+    bbox: jax.Array,  # (4,) i32
+    template: jax.Array,  # (th, tw) f32
+    t_mean: jax.Array,
+    t_std: jax.Array,
+    lost_count: jax.Array,
+    use_global: jax.Array,
+    n_valid: jax.Array,  # i32 scalar: frames beyond this index don't commit
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+):
+    """Run one chunk through the mega-kernel.
+
+    Returns (rows (F, TX) f32 — per-frame records, lane layout O_*;
+    final template (th, tw) f32).  The caller derives the chunk-final
+    TrackerState from the last row + template_stats(final template) and
+    treats any O_POISON=1 row as "redo this chunk on the scan path".
+    """
+    g = MegaGeometry(frame_shape, templ_shape, config)
+    f = frames_u8.shape[0]
+    framesp = jnp.pad(
+        frames_u8,
+        (
+            (0, 0),
+            (0, g.pad_h - g.frame_h),
+            (0, g.pad_w - g.frame_w),
+        ),
+    )
+    tpl0 = jnp.pad(
+        template.astype(jnp.float32),
+        ((0, g.rows8 - g.th), (0, g.m_lanes - g.tw)),
+    )
+    t_centered_sum = jnp.sum(template.astype(jnp.float32) - t_mean)
+    sf0 = jnp.stack(
+        [
+            t_mean.astype(jnp.float32),
+            t_std.astype(jnp.float32),
+            t_centered_sum,
+            jnp.float32(0), jnp.float32(0), jnp.float32(0),
+            jnp.float32(0), jnp.float32(0),
+        ]
+    )
+    si0 = jnp.stack(
+        [
+            bbox[0], bbox[1], bbox[2], bbox[3],
+            lost_count.astype(jnp.int32),
+            use_global.astype(jnp.int32),
+            n_valid.astype(jnp.int32),
+            jnp.int32(0),
+        ]
+    )
+    box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
+    kernel = functools.partial(_mega_kernel, g=g, config=config)
+    vmem_budget = (
+        g.slab_h * g.slab_w * 5  # u8 slab + one f32 copy
+        + 4 * 3 * g.rows8 * g.m_lanes  # template scratch/in/out + centered
+        + 4 * g.tile_lanes * TX
+        + 4 * (g.ty + 8) * g.m_lanes * 4  # w/wsq/t1p working set
+        + 24 * 1024 * 1024  # acc/bsum/bsq + rolled slab copies + slack
+    )
+    rows, tplout = pl.pallas_call(
+        kernel,
+        grid=(f,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8, TX), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (g.rows8, g.m_lanes), lambda t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((f * 8, TX), jnp.float32),
+            jax.ShapeDtypeStruct((g.rows8, g.m_lanes), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g.slab_h, g.slab_w), jnp.uint8),
+            pltpu.VMEM((g.rows8, g.m_lanes), jnp.float32),
+            pltpu.SMEM((4,), jnp.float32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
+        interpret=interpret,
+    )(framesp, tpl0, box, sf0, si0)
+    rows = rows.reshape(f, 8, TX)[:, 0, :]
+    return rows, tplout[: g.th, : g.tw]

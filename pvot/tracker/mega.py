@@ -1,0 +1,241 @@
+"""Mega-kernel tracking driver with a transactional scan-path fallback.
+
+`track_video_mega` drives pvot.ops.ncc_mega: each chunk of frames is ONE
+pallas_call that runs the whole local-mode state machine on-chip (see that
+module's docstring for the design and the probe lineage).  Because global
+search cannot run inside the kernel, the kernel POISONS a chunk whose state
+machine would enter a global branch (lost-object re-acquisition, bbox out of
+frame, collapsed window — tracker_ghc/src/main.cpp:399-446), and this driver
+re-runs exactly that chunk through the ordinary XLA scan path
+(pvot.tracker.scan.track_video), then resumes the mega path on the next
+chunk.  Semantics therefore match the scan engines on every frame; the mega
+path is an optimistic fast commit for the all-local common case.
+
+Fetch discipline (memory/axon-relay-timing.md): all chunks are enqueued
+device-side and their per-frame records land on the host in ONE packed
+transfer at the end of each optimistic run; only a poison (rare) costs a
+re-run of the chunks after it.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pvot.config import TrackerConfig
+from pvot.ops.ncc_mega import (
+    MegaGeometry,
+    O_BX,
+    O_LOST,
+    O_POISON,
+    O_SCORE,
+    O_UPDATED,
+    O_USEG,
+    mega_track_chunk,
+)
+from pvot.ops.ncc_reference import template_stats
+from pvot.tracker.scan import track_video
+from pvot.tracker.state import StepOutput, TrackerState
+
+_SUPPORT_CACHE: dict = {}
+
+
+def _state_from_chunk(rows: jax.Array, tplout: jax.Array) -> TrackerState:
+    """Chunk-final TrackerState from the kernel's last record + template.
+
+    Stats are re-canonicalized through template_stats so chunk-start states
+    bit-match the XLA path's cached stats whenever the template bits agree
+    (pvot/ops/ncc_mega.py parity note)."""
+    last = rows[-1]
+    t_mean, t_std = template_stats(tplout)
+    return TrackerState(
+        bbox_x=last[O_BX + 0].astype(jnp.int32),
+        bbox_y=last[O_BX + 1].astype(jnp.int32),
+        bbox_w=last[O_BX + 2].astype(jnp.int32),
+        bbox_h=last[O_BX + 3].astype(jnp.int32),
+        template=tplout,
+        t_mean=t_mean,
+        t_std=t_std,
+        lost_count=last[O_LOST].astype(jnp.int32),
+        use_global=last[O_USEG] != 0.0,
+    )
+
+
+def _rows_to_output(rows: np.ndarray) -> StepOutput:
+    """Host-side per-frame records -> StepOutput.  used_global is identically
+    False on mega-committed frames: any frame whose state machine reaches a
+    global branch poisons the chunk and is re-run on the scan path."""
+    return StepOutput(
+        bbox=rows[:, O_BX : O_BX + 4].astype(np.int32),
+        score=rows[:, O_SCORE].copy(),
+        used_global=np.zeros(rows.shape[0], bool),
+        updated=rows[:, O_UPDATED] != 0.0,
+    )
+
+
+def mega_supported(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+) -> bool:
+    """Compile + numerics probe at EXACTLY the served geometry (the same
+    per-geometry discipline as ncc_pallas.pallas_supported: this relay's
+    Mosaic rejects/miscompiles kernels unpredictably, so the mega path must
+    prove itself against the scan path before it serves).  Probes a short
+    random clip and requires bit-equal bboxes, flags, and scores."""
+    key = (jax.default_backend(), frame_shape, templ_shape, config, interpret)
+    if key not in _SUPPORT_CACHE:
+        try:
+            g = MegaGeometry(frame_shape, templ_shape, config)
+            if not g.supported():
+                raise ValueError("geometry outside mega envelope")
+            rng = np.random.default_rng(11)
+            h, w = frame_shape
+            th, tw = templ_shape
+            frames = rng.integers(0, 256, (5, h, w), np.uint8)
+            x = (w - tw) // 2
+            y = (h - th) // 2
+            from pvot.io.gray import gray_u8_to_f32
+            from pvot.tracker.state import init_state
+
+            templ = jnp.asarray(
+                gray_u8_to_f32(frames[0])[y : y + th, x : x + tw]
+            )
+            state = init_state(templ, (x, y, tw, th))
+            want_state, want = track_video(
+                frames[1:], state, config, strategy="fused",
+                backend="pallas_shear", chunk_size=4,
+            )
+            got_state, got = track_video_mega(
+                frames[1:], state, config, chunk_size=4,
+                interpret=interpret, _probe=True,
+            )
+            if not (
+                np.array_equal(want.bbox, got.bbox)
+                and np.array_equal(want.updated, got.updated)
+                and np.allclose(want.score, got.score, atol=1e-5)
+            ):
+                raise ValueError(
+                    f"mega probe mismatch: {got.bbox.tolist()} vs "
+                    f"{want.bbox.tolist()}"
+                )
+            ok = True
+        except Exception:
+            import traceback
+
+            _SUPPORT_CACHE["last_error"] = traceback.format_exc()
+            ok = False
+        if not ok:
+            import sys
+
+            print(
+                "pvot: mega-kernel unavailable at geometry "
+                f"frame={frame_shape} templ={templ_shape} "
+                f"(probe failed); falling back to the scan engines",
+                file=sys.stderr,
+            )
+        _SUPPORT_CACHE[key] = ok
+    return _SUPPORT_CACHE[key]
+
+
+def track_video_mega(
+    frames: np.ndarray,
+    state: TrackerState,
+    config: TrackerConfig = TrackerConfig(),
+    chunk_size: int = 256,
+    scan_backend: str = "pallas_shear",
+    interpret: bool = False,
+    _probe: bool = False,
+) -> Tuple[TrackerState, StepOutput]:
+    """Track a pre-decoded uint8 gray video (F, H, W) on the mega path.
+
+    Falls back to the scan path wholesale when the geometry/dtype is outside
+    the mega envelope or the per-geometry probe fails, and per-chunk when a
+    chunk poisons (global-search semantics).  Returns exactly what
+    pvot.tracker.scan.track_video returns.
+    """
+    frames = np.asarray(frames)
+    if frames.ndim != 3:
+        raise ValueError(f"expected (F, H, W) frames, got {frames.shape}")
+    f, h, w = frames.shape
+    th, tw = state.template.shape
+    g = MegaGeometry((h, w), (th, tw), config)
+    if f == 0 or frames.dtype != np.uint8 or not g.supported() or (
+        not _probe
+        and not mega_supported((h, w), (th, tw), config, interpret=interpret)
+    ):
+        return track_video(
+            frames, state, config, strategy="fused", backend=scan_backend,
+            chunk_size=chunk_size,
+        )
+
+    cs = min(chunk_size, f)
+    num_chunks = -(-f // cs)
+    results: list = [None] * num_chunks
+    k = 0
+    cur = state
+    while k < num_chunks:
+        # Optimistic run: enqueue every remaining chunk, fetch records once.
+        snapshots = []
+        pend = []
+        st = cur
+        for j in range(k, num_chunks):
+            chunk = frames[j * cs : (j + 1) * cs]
+            n_real = chunk.shape[0]
+            if n_real < cs:
+                pad = np.repeat(chunk[-1:], cs - n_real, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            snapshots.append(st)
+            rows, tplout = mega_track_chunk(
+                jax.device_put(chunk),
+                jnp.stack(
+                    [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h]
+                ).astype(jnp.int32),
+                st.template,
+                st.t_mean,
+                st.t_std,
+                st.lost_count,
+                st.use_global,
+                jnp.int32(n_real),
+                frame_shape=(h, w),
+                templ_shape=(th, tw),
+                config=config,
+                interpret=interpret,
+            )
+            st = _state_from_chunk(rows, tplout)
+            pend.append((j, rows, n_real))
+        packed = jnp.concatenate([r for _, r, _ in pend], axis=0)
+        packed.copy_to_host_async()
+        host = np.asarray(packed)  # the single fetch
+
+        poisoned_at = None
+        for idx, (j, _, n_real) in enumerate(pend):
+            rs = host[idx * cs : idx * cs + n_real]
+            if (rs[:, O_POISON] != 0.0).any():
+                poisoned_at = idx
+                break
+            results[j] = _rows_to_output(rs)
+        if poisoned_at is None:
+            cur = st
+            break
+        # Transaction rollback: chunk j re-runs on the scan path (exact
+        # global-search semantics), then the mega path resumes after it.
+        j = pend[poisoned_at][0]
+        cur, out = track_video(
+            frames[j * cs : (j + 1) * cs],
+            snapshots[poisoned_at],
+            config,
+            strategy="fused",
+            backend=scan_backend,
+            chunk_size=cs,
+        )
+        results[j] = out
+        k = j + 1
+
+    return cur, StepOutput(
+        *(np.concatenate(xs) for xs in zip(*results))
+    )

@@ -1,0 +1,133 @@
+"""Mega-kernel (whole-chunk-in-one-pallas_call) parity tests.
+
+Interpret-mode on CPU: the kernel itself runs through the Pallas
+interpreter, the driver logic (chunking, poison transactions, state
+re-canonicalization) runs for real.  Chip-level validation lives in
+tools/mega_ab_bench.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pvot.config import TrackerConfig
+from pvot.io.gray import gray_u8_to_f32
+from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+from pvot.ops.ncc_mega import MegaGeometry
+from pvot.tracker.mega import track_video_mega
+from pvot.tracker.scan import track_video
+from pvot.tracker.state import init_state
+
+
+def _setup(spec):
+    frames = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    templ = jnp.asarray(gray_u8_to_f32(frames[0])[y : y + h, x : x + w])
+    return frames, init_state(templ, (x, y, w, h))
+
+
+# Small geometry keeps interpret-mode runtime sane while exercising real
+# alignment residuals (frame extents NOT multiples of the slab alignments).
+SPEC = SyntheticSpec(
+    width=250, height=94, num_frames=14, target_w=16, target_h=16, seed=3,
+    noise_std=1.0,
+)
+CONFIG = TrackerConfig(search_radius_x=8, search_radius_y=8)
+
+
+def _assert_equal(want, got):
+    np.testing.assert_array_equal(want.bbox, got.bbox)
+    np.testing.assert_array_equal(want.updated, got.updated)
+    np.testing.assert_array_equal(want.used_global, got.used_global)
+    np.testing.assert_allclose(want.score, got.score, atol=1e-5)
+
+
+def test_mega_matches_scan_path():
+    frames, state = _setup(SPEC)
+    want_state, want = track_video(
+        frames[1:], state, CONFIG, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    got_state, got = track_video_mega(
+        frames[1:], state, CONFIG, chunk_size=4, scan_backend="xla",
+        interpret=True,
+    )
+    _assert_equal(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+    assert int(got_state.bbox_y) == int(want_state.bbox_y)
+    np.testing.assert_allclose(
+        np.asarray(got_state.template), np.asarray(want_state.template),
+        atol=1e-6,
+    )
+    assert int(got_state.lost_count) == int(want_state.lost_count)
+
+
+def test_mega_tail_chunk_masking():
+    """13 frames over chunk 4: the padded tail must not commit state."""
+    frames, state = _setup(SPEC)
+    want_state, want = track_video(
+        frames[1:], state, CONFIG, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    got_state, got = track_video_mega(
+        frames[1:], state, CONFIG, chunk_size=4, scan_backend="xla",
+        interpret=True,
+    )
+    assert got.bbox.shape == want.bbox.shape == (13, 4)
+    _assert_equal(want, got)
+
+
+def test_mega_poison_reruns_global_frames():
+    """A lost-object clip must poison and re-run through the scan path,
+    ending with IDENTICAL records incl. used_global frames."""
+    spec = SyntheticSpec(
+        width=250, height=94, num_frames=18, target_w=16, target_h=16,
+        seed=5, exit_and_reenter=True,
+    )
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    frames, state = _setup(spec)
+    want_state, want = track_video(
+        frames[1:], state, config, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    got_state, got = track_video_mega(
+        frames[1:], state, config, chunk_size=4, scan_backend="xla",
+        interpret=True,
+    )
+    assert want.used_global.any(), "fixture must actually trigger global"
+    _assert_equal(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+    assert bool(got_state.use_global) == bool(want_state.use_global)
+
+
+def test_mega_geometry_fallback():
+    """Spans beyond one kernel tile fall back to the scan path wholesale."""
+    frames, state = _setup(SPEC)
+    config = TrackerConfig(search_radius_x=70, search_radius_y=8)
+    g = MegaGeometry((94, 250), (16, 16), config)
+    assert not g.supported()
+    want_state, want = track_video(
+        frames[1:], state, config, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    got_state, got = track_video_mega(
+        frames[1:], state, config, chunk_size=4, scan_backend="xla",
+        interpret=True,
+    )
+    _assert_equal(want, got)
+
+
+def test_mega_f32_frames_fallback():
+    frames, state = _setup(SPEC)
+    frames_f32 = gray_u8_to_f32(frames)
+    want_state, want = track_video(
+        frames_f32[1:], state, CONFIG, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    got_state, got = track_video_mega(
+        frames_f32[1:], state, CONFIG, chunk_size=4, scan_backend="xla",
+        interpret=True,
+    )
+    _assert_equal(want, got)
