@@ -45,20 +45,20 @@ def run_bench(
     # chunk 512 measured ~3% over 256 (fewer dispatch boundaries/frame);
     # see docs/PERFORMANCE.md "Saturation point".
     chunk_size: int = 512,
-    # "pallas_shear" = the operator-free shear Pallas engine (round 3):
-    # NCC scores, window masking, and the argmax reduce on-chip so only
-    # (val, x, y) leaves the kernel, and the correlation operator is never
-    # materialized — per template row a strided pltpu.roll builds the
-    # transposed Toeplitz block in registers (pvot.ops.ncc_pallas
-    # _score_tile, shear=True).  Measured on-chip 15,876 FPS vs 11,622
-    # (operator-Pallas) and 10,894 (matmul fast) at this geometry — at
-    # full HIGHEST (exact-f32) precision, trajectories bit-equal to the
-    # HIGHEST matmul engine (tools/engine_ab_bench.py).  If the Pallas
-    # probe fails on this backend (Mosaic regression), the registry falls
-    # back through operator-Pallas to the matmul formulation
-    # automatically.  The bench validates the tracked trajectory against
-    # ground truth either way.
-    backend: str = "pallas_shear",
+    # "mega" = the mega-kernel (round 3): the WHOLE tracking chunk runs in
+    # ONE pallas_call (pvot.ops.ncc_mega) — scratch state as the loop
+    # carry, per-frame uint8 slab DMA, shear NCC scoring, in-kernel masked
+    # argmax + confidence gate + template EMA; only per-frame scalars and
+    # the final template leave the chip.  Measured on-chip 18,340 FPS vs
+    # 15,996 (pallas_shear scan), 11,622 (operator-Pallas) and 10,894
+    # (matmul fast) at this geometry — trajectories bit-equal to the
+    # HIGHEST matmul engine (tools/mega_ab_bench.py,
+    # tools/engine_ab_bench.py).  If the mega compile fails (Mosaic
+    # regression), the bench falls back to the "pallas_shear" scan engine
+    # (which itself falls back through operator-Pallas to the matmul
+    # formulation via the registry's probe chain).  The bench validates
+    # the tracked trajectory against ground truth either way.
+    backend: str = "mega",
 ) -> dict:
     from pvot.utils.jaxcache import enable_compilation_cache
 
@@ -69,10 +69,7 @@ def run_bench(
     from pvot.config import TrackerConfig
     from pvot.io.gray import gray_u8_to_f32
     from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
-    from pvot.ops.backends import get_backend
-    from pvot.tracker.scan import make_masked_scan_fn
     from pvot.tracker.state import init_state
-    from pvot.tracker.step import make_step
 
     spec = SyntheticSpec(
         width=width, height=height, num_frames=num_frames + 1,
@@ -84,41 +81,33 @@ def run_bench(
     config = TrackerConfig()
     state = init_state(jnp.asarray(template), (x, y, w, h))
 
-    full_fn, region_fn, argmax_fn = get_backend(
-        backend, (height, width), (h, w), config
-    )
-    step = make_step(
-        (height, width), (h, w), config,
-        ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy="fused",
-        ncc_region_argmax_fn=argmax_fn,
-    )
-    scan_fn = make_masked_scan_fn(step, donate=False)
-
-    # Stage all chunks on device and compile (async/fast mode; untimed).
+    # Stage all chunks on device (async/fast mode; untimed).  Frames stay
+    # in the uint8 wire dtype; both paths convert on-device.
     assert num_frames % chunk_size == 0
     chunks = [
         jax.device_put(frames[1 + i : 1 + i + chunk_size])
         for i in range(0, num_frames, chunk_size)
     ]
-    valid = jax.device_put(np.ones(chunk_size, bool))
     jax.block_until_ready(chunks[-1])
 
-    from pvot.tracker.scan import _pack_outputs, fetch_outputs
+    if backend == "mega":
+        try:
+            run_once, finish = _make_mega_runner(
+                chunks, state, (height, width), (h, w), chunk_size, config
+            )
+            _ = run_once(fetch=False)  # compile (enqueue only)
+        except Exception as e:  # Mosaic regression: fall back to the scan
+            import sys
 
-    def run_once(fetch: bool):
-        st = state
-        outs = []
-        for c in chunks:
-            st, out = scan_fn(st, c, valid)
-            outs.append(out)
-        dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
-        if fetch:
-            return fetch_outputs(dev)
-        return _pack_outputs(dev)  # same program, no transfer
-
-    # Warm-up: compiles every program in the timed pipeline (enqueue only —
-    # no device->host transfer yet).
-    _ = run_once(fetch=False)
+            print(f"pvot bench: mega unavailable ({type(e).__name__}); "
+                  "falling back to pallas_shear", file=sys.stderr)
+            backend = "pallas_shear"
+    if backend != "mega":
+        run_once, finish = _make_scan_runner(
+            chunks, state, (height, width), (h, w), chunk_size, config,
+            backend,
+        )
+        _ = run_once(fetch=False)  # compile (enqueue only)
 
     # Flip the relay into synchronous (honest-timing) mode; untimed.
     flip = jax.jit(lambda a: a @ a)(jnp.eye(128, dtype=jnp.float32))
@@ -135,7 +124,7 @@ def run_bench(
         host = run_once(fetch=True)
         elapsed = min(elapsed, time.perf_counter() - t0)
 
-    bboxes = np.asarray(host.bbox)
+    bboxes, updated, extras = finish(host)
     errs = [
         abs(int(b[0]) - target_bbox(spec, i + 1)[0])
         + abs(int(b[1]) - target_bbox(spec, i + 1)[1])
@@ -151,9 +140,110 @@ def run_bench(
         "elapsed_s": round(elapsed, 4),
         "ms_per_frame": round(elapsed / num_frames * 1000, 4),
         "max_l1_err_px": int(max(errs)),
-        "all_updated": bool(np.asarray(host.updated).all()),
+        "all_updated": bool(np.asarray(updated).all()),
         "backend": backend,
+        **extras,
     }
+
+
+def _make_scan_runner(chunks, state, frame_shape, templ_shape, chunk_size,
+                      config, backend):
+    """The per-frame scan path: one pallas/XLA step per frame inside a
+    chunked lax.scan (pvot.tracker.scan)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pvot.ops.backends import get_backend
+    from pvot.tracker.scan import (
+        _pack_outputs,
+        fetch_outputs,
+        make_masked_scan_fn,
+    )
+    from pvot.tracker.step import make_step
+
+    full_fn, region_fn, argmax_fn = get_backend(
+        backend, frame_shape, templ_shape, config
+    )
+    step = make_step(
+        frame_shape, templ_shape, config,
+        ncc_full_fn=full_fn, ncc_region_fn=region_fn, strategy="fused",
+        ncc_region_argmax_fn=argmax_fn,
+    )
+    scan_fn = make_masked_scan_fn(step, donate=False)
+    valid = jax.device_put(np.ones(chunk_size, bool))
+
+    def run_once(fetch: bool):
+        st = state
+        outs = []
+        for c in chunks:
+            st, out = scan_fn(st, c, valid)
+            outs.append(out)
+        dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        if fetch:
+            return fetch_outputs(dev)
+        return _pack_outputs(dev)  # same program, no transfer
+
+    def finish(host):
+        return np.asarray(host.bbox), np.asarray(host.updated), {}
+
+    return run_once, finish
+
+
+def _make_mega_runner(chunks, state, frame_shape, templ_shape, chunk_size,
+                      config):
+    """The mega path: each chunk is ONE pallas_call (pvot.ops.ncc_mega);
+    between chunks only the tiny state-extract program runs.  A poisoned
+    chunk (global-search frame) would make the ground-truth check fail
+    loudly; the tracked synthetic clip never poisons (poison count is
+    reported in the JSON line)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pvot.ops.ncc_mega import (
+        MegaGeometry,
+        O_BX,
+        O_POISON,
+        O_UPDATED,
+        mega_track_chunk,
+    )
+    from pvot.tracker.mega import _state_from_chunk
+
+    if not MegaGeometry(frame_shape, templ_shape, config).supported():
+        raise ValueError("geometry outside the mega envelope")
+    state_extract = jax.jit(_state_from_chunk)
+
+    def run_once(fetch: bool):
+        st = state
+        rows_all = []
+        for c in chunks:
+            rows, tplout = mega_track_chunk(
+                c,
+                jnp.stack(
+                    [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h]
+                ).astype(jnp.int32),
+                st.template, st.t_mean, st.t_std, st.lost_count,
+                st.use_global, jnp.int32(chunk_size),
+                frame_shape=frame_shape, templ_shape=templ_shape,
+                config=config,
+            )
+            st = state_extract(rows, tplout)
+            rows_all.append(rows)
+        dev = jnp.concatenate(rows_all, axis=0)
+        if not fetch:
+            return dev
+        dev.copy_to_host_async()
+        return np.asarray(dev)  # ONE packed transfer
+
+    def finish(rows):
+        return (
+            rows[:, O_BX : O_BX + 4].astype(np.int32),
+            rows[:, O_UPDATED] != 0.0,
+            {"poisoned": int((rows[:, O_POISON] != 0.0).sum())},
+        )
+
+    return run_once, finish
 
 
 if __name__ == "__main__":

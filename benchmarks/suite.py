@@ -411,6 +411,59 @@ def bench_mode_comparison(frames=512):
     return rows
 
 
+def bench_mega(name="mega_720p", *, width=1280, height=720, templ=80,
+               num_frames=2048, chunk_size=512):
+    """The mega-kernel path (whole chunk in ONE pallas_call,
+    pvot.ops.ncc_mega) at the headline geometry — the suite row behind
+    bench.py's default backend.  Protocol identical to bench_tracking."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _make_mega_runner
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.tracker.state import init_state
+
+    config = TrackerConfig()
+    spec = SyntheticSpec(
+        width=width, height=height, num_frames=num_frames + 1,
+        target_w=templ, target_h=templ, seed=1,
+    )
+    frames = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    template = gray_u8_to_f32(frames[0])[y : y + h, x : x + w]
+    state = init_state(jnp.asarray(template), (x, y, w, h))
+    chunks = [
+        jax.device_put(frames[1 + i : 1 + i + chunk_size])
+        for i in range(0, num_frames, chunk_size)
+    ]
+    jax.block_until_ready(chunks[-1])
+    run_once, finish = _make_mega_runner(
+        chunks, state, (height, width), (h, w), chunk_size, config
+    )
+    host, elapsed = _stage_flip_time(
+        lambda: run_once(fetch=False), lambda: run_once(fetch=True)
+    )
+    bboxes, _updated, extras = finish(host)
+    errs = [
+        abs(int(b[0]) - target_bbox(spec, i + 1)[0])
+        + abs(int(b[1]) - target_bbox(spec, i + 1)[1])
+        for i, b in enumerate(bboxes)
+    ]
+    fps = num_frames / elapsed
+    return {
+        "config": name,
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "frames": num_frames,
+        "elapsed_s": round(elapsed, 4),
+        "max_l1_err_px": int(max(errs)),
+        **extras,
+    }
+
+
 def bench_stream_sweep(sizes=(8, 16, 32, 64), backend="fast"):
     """Find the chip's serving saturation point: aggregate FPS + MFU as the
     lockstep stream count grows.  Frame counts shrink with S so staged
@@ -493,6 +546,8 @@ CONFIGS = {
     "9": lambda frames: bench_pallas(),
     # Mode-flag comparison table (reference README.md:128-137 analog).
     "10": lambda frames: bench_mode_comparison(frames),
+    # Mega-kernel headline (bench.py's default backend since round 3c).
+    "11": lambda frames: bench_mega(num_frames=max(512, frames)),
 }
 
 

@@ -37,4 +37,8 @@ def __getattr__(name):  # lazy heavyweight entry points
         from pvot.parallel.multi import track_video_multi
 
         return track_video_multi
+    if name == "track_video_mega":
+        from pvot.tracker.mega import track_video_mega
+
+        return track_video_mega
     raise AttributeError(f"module 'pvot' has no attribute {name!r}")

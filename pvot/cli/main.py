@@ -54,6 +54,13 @@ _MODE_FLAGS = {
     # Geometry-based engine choice (matmul at small radii, Pallas at large;
     # measured crossover in docs/PERFORMANCE.md).
     "--auto": "auto",
+    # Mega-kernel serving mode: each chunk is ONE pallas_call running the
+    # whole local-mode state machine on-chip (pvot.ops.ncc_mega); global-
+    # search chunks transactionally re-run on the scan path.  Measured
+    # 18,340 FPS vs 15,996 (shear scan) at the headline geometry
+    # (tools/mega_ab_bench.py).  Falls back to the shear scan engine when
+    # the geometry is outside the mega envelope or its probe fails.
+    "--mega": "mega",
 }
 
 

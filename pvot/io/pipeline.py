@@ -167,6 +167,12 @@ def track_stream(
     burns into recorded frames (the reference burns per-frame tick-delta
     FPS, tracker_ghc/src/main.cpp:470-478; a scanned chunk is this
     pipeline's smallest honestly-timeable unit).
+
+    backend="mega" runs each chunk as ONE pallas_call (pvot.ops.ncc_mega)
+    with the per-chunk transactional global-search fallback from
+    pvot.tracker.mega; if the geometry is outside the mega envelope or its
+    compile/numerics probe fails, the stream falls back to the pallas_shear
+    scan engine (and onward through the registry's probe chain).
     """
     import jax
 
@@ -176,6 +182,14 @@ def track_stream(
     config = config or TrackerConfig()
     h, w = frame_shape
     th, tw = state.template.shape
+    if backend == "mega":
+        from pvot.tracker.mega import mega_supported
+
+        if mega_supported((h, w), (th, tw), config):
+            return _track_stream_mega(
+                frame_iter, state, frame_shape, config, chunk_size, timings
+            )
+        backend = "pallas_shear"
     scan_fn = _cached_masked_scan(
         (h, w), (th, tw), config, strategy, backend, "uint8", chunk_size
     )
@@ -216,6 +230,82 @@ def track_stream(
             pending = (sliced, n_real)
         if pending is not None:
             drain(pending)
+    finally:
+        pipe.close()
+    return state, _stack_outputs(outs)
+
+
+def _track_stream_mega(
+    frame_iter: Iterable[np.ndarray],
+    state,
+    frame_shape: Tuple[int, int],
+    config,
+    chunk_size: int,
+    timings: Optional[list],
+    scan_backend: str = "pallas_shear",
+    interpret: bool = False,  # tests drive the Pallas interpreter on CPU
+):
+    """track_stream's mega path: one pallas_call per chunk.
+
+    The stream is inherently eager (results leave per chunk), which makes
+    the transactional poison protocol simple: fetch each chunk's rows,
+    and if any frame poisoned (global-search branch), re-run exactly that
+    chunk through the scan engine from the chunk-start snapshot before
+    advancing — semantics stay identical to the scan path on every frame
+    (pvot.tracker.mega docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.ops.ncc_mega import O_POISON, mega_track_chunk
+    from pvot.tracker.mega import _rows_to_output, _state_from_chunk
+    from pvot.tracker.scan import _cached_masked_scan, _stack_outputs
+
+    h, w = frame_shape
+    th, tw = state.template.shape
+    state_extract = jax.jit(_state_from_chunk)
+    scan_fn = None  # built lazily: only a poisoned chunk needs it
+    pipe = FramePipeline(frame_iter, frame_shape, chunk_size=chunk_size)
+    outs = []
+    mark = time.perf_counter()
+    try:
+        for chunk, n_real in pipe.chunks():
+            snapshot = state
+            dev_chunk = jax.device_put(chunk)
+            rows, tplout = mega_track_chunk(
+                dev_chunk,
+                jnp.stack(
+                    [state.bbox_x, state.bbox_y, state.bbox_w, state.bbox_h]
+                ).astype(jnp.int32),
+                state.template, state.t_mean, state.t_std,
+                state.lost_count, state.use_global, jnp.int32(n_real),
+                frame_shape=(h, w), templ_shape=(th, tw), config=config,
+                interpret=interpret,
+            )
+            state = state_extract(rows, tplout)
+            rows.copy_to_host_async()
+            host_rows = np.asarray(rows)[:n_real]
+            if (host_rows[:, O_POISON] != 0.0).any():
+                # Transaction rollback: this chunk re-runs on the scan path
+                # (exact global-search semantics); the next chunk resumes
+                # from its final state.
+                if scan_fn is None:
+                    scan_fn = _cached_masked_scan(
+                        (h, w), (th, tw), config, "fused", scan_backend,
+                        "uint8", chunk_size,
+                    )
+                valid = np.arange(chunk_size) < n_real
+                state, out = scan_fn(
+                    snapshot, dev_chunk, jax.device_put(valid)
+                )
+                outs.append(
+                    jax.tree.map(lambda a: np.asarray(a[:n_real]), out)
+                )
+            else:
+                outs.append(_rows_to_output(host_rows))
+            now = time.perf_counter()
+            if timings is not None:
+                timings.append((n_real, now - mark))
+            mark = now
     finally:
         pipe.close()
     return state, _stack_outputs(outs)

@@ -82,6 +82,15 @@ MODE_TO_BACKEND = {
     # tools/region_step_breakdown.py.  Full HIGHEST parity math.
     "pallas_shear": "pallas_shear",
     "shear": "pallas_shear",
+    # The mega-kernel (round 3: the whole chunk in ONE pallas_call,
+    # pvot.ops.ncc_mega) is a chunk-level DRIVER, not a per-frame engine —
+    # pvot.io.pipeline.track_stream and pvot.tracker.mega.track_video_mega
+    # intercept backend="mega" before this registry.  Scan-style consumers
+    # that reach here with "mega" (e.g. --batch composition, where batch
+    # semantics preclude the chunk-transactional design) degrade to the
+    # shear engine: the mega kernel computes exactly the shear math
+    # per frame.
+    "mega": "pallas_shear",
     # Geometry-based engine choice (measured crossover, docs/PERFORMANCE.md):
     # the matmul engine wins at small search radii (r60/720p: 10.4k vs 5.5k
     # FPS) because the Pallas path pays a ~10.5 MB Toeplitz-operator rebuild

@@ -169,6 +169,16 @@ def track_video(
     frames = np.asarray(frames)
     if frames.ndim != 3:
         raise ValueError(f"expected (F, H, W) frames, got {frames.shape}")
+    if backend == "mega" and step is None:
+        # The mega-kernel is a chunk-level driver, not a per-frame engine;
+        # route to it (it falls back here — with the shear scan engine —
+        # when the geometry/dtype is outside its envelope or its probe
+        # fails).
+        from pvot.tracker.mega import track_video_mega
+
+        return track_video_mega(
+            frames, state, config, chunk_size=chunk_size
+        )
     f, h, w = frames.shape
     th, tw = state.template.shape
     if step is not None:

@@ -119,6 +119,76 @@ def test_mega_geometry_fallback():
     _assert_equal(want, got)
 
 
+def test_track_video_backend_mega_routes():
+    """pvot.track_video(backend=\"mega\") reaches the mega driver (here its
+    geometry/probe fallback arm on CPU) and matches the scan path."""
+    frames, state = _setup(SPEC)
+    want_state, want = track_video(
+        frames[1:], state, CONFIG, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    got_state, got = track_video(
+        frames[1:], state, CONFIG, strategy="fused", backend="mega",
+        chunk_size=4,
+    )
+    _assert_equal(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+
+
+def test_track_stream_mega_matches_scan(monkeypatch):
+    """The streaming mega path (one pallas_call per chunk, eager per-chunk
+    fetch, transactional poison re-run) matches the scan stream — driven in
+    interpret mode, including a poisoning (global-search) clip."""
+    from pvot.io.pipeline import _track_stream_mega, track_stream
+
+    spec = SyntheticSpec(
+        width=250, height=94, num_frames=18, target_w=16, target_h=16,
+        seed=5, exit_and_reenter=True,
+    )
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    frames, state = _setup(spec)
+    want_state, want = track_stream(
+        iter(frames[1:]), state, (94, 250), config, backend="xla",
+        chunk_size=4,
+    )
+    timings: list = []
+    got_state, got = _track_stream_mega(
+        iter(frames[1:]), state, (94, 250), config, chunk_size=4,
+        timings=timings, scan_backend="xla", interpret=True,
+    )
+    assert want.used_global.any(), "fixture must actually trigger global"
+    _assert_equal(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+    assert sum(n for n, _ in timings) == 17
+
+
+def test_track_stream_backend_mega_fallback():
+    """track_stream(backend=\"mega\") on a geometry outside the mega
+    envelope falls back to the scan engines and still tracks."""
+    frames, state = _setup(SPEC)
+    config = TrackerConfig(search_radius_x=70, search_radius_y=8)
+    from pvot.io.pipeline import track_stream
+
+    want_state, want = track_stream(
+        iter(frames[1:]), state, (94, 250), config, backend="xla",
+        chunk_size=4,
+    )
+    got_state, got = track_stream(
+        iter(frames[1:]), state, (94, 250), config, backend="mega",
+        chunk_size=4,
+    )
+    _assert_equal(want, got)
+
+
+def test_cli_mega_flag_parses():
+    from pvot.cli.main import parse_args
+
+    args = parse_args(["clip.mp4", "--mega", "--record"])
+    assert args.mode == "mega"
+
+
 def test_mega_f32_frames_fallback():
     frames, state = _setup(SPEC)
     frames_f32 = gray_u8_to_f32(frames)

@@ -1,0 +1,325 @@
+"""Where do the mega-kernel's ~54.5 us/frame go?
+
+Rung ladder ON THE REAL CHIP: variants of the mega kernel with later
+stages statically disabled, timed in-grid over a full chunk with the
+stage/flip/time protocol.  Consecutive deltas attribute the per-frame
+cost.  Rungs:
+
+  dma      — slab DMA + u8->f32 convert + the two alignment rolls; emits a
+             checksum row so nothing is DCE'd
+  score    — + the shear score loop (the 80 per-row MXU dots) + box sums
+  argmax   — + masked argmax + confidence gate + bbox/state commit
+  full     — + template EMA + stats recompute (the production kernel)
+
+Each rung is a separate pallas_call build sharing _mega_kernel's geometry
+and memory layout (kept in sync by hand; this is a measurement tool, not a
+product path).  Inputs are perturbed per run to defeat LICM hoisting
+(tools/README.md trap catalogue).
+
+Usage: nohup python tools/mega_breakdown.py > /tmp/mega_bd.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_rung(rung: str, g, config, f: int):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pvot.ops.ncc_mega import BIG, ROW_ALIGN, LANE_ALIGN
+    from pvot.ops.ncc_pallas import TX
+
+    th, tw, ty = g.th, g.tw, g.ty
+    tile_lanes, m_lanes = g.tile_lanes, g.m_lanes
+    n = float(th * tw)
+    lr = float(config.template_update_lr)
+    half_w, half_h = tw // 2, th // 2
+    rx, ry = int(config.search_radius_x), int(config.search_radius_y)
+
+    def kernel(frames_hbm, tpl0_ref, box_ref, sf0_ref, si0_ref,
+               out_ref, tplout_ref, slab_ref, tpl_ref, sf_ref, si_ref, sem):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            tpl_ref[:, :] = tpl0_ref[:, :]
+            sf_ref[0] = sf0_ref[0]
+            sf_ref[1] = sf0_ref[1]
+            sf_ref[2] = sf0_ref[2]
+            for i in range(6):
+                si_ref[i] = si0_ref[i]
+
+        bx, by = si_ref[0], si_ref[1]
+        bw, bh = si_ref[2], si_ref[3]
+        cx = bx + (bw >> 1)
+        cy = by + (bh >> 1)
+        min_tx = jnp.maximum(0, cx - rx - half_w)
+        max_tx = jnp.minimum(g.out_w - 1, cx + rx - half_w)
+        min_ty = jnp.maximum(0, cy - ry - half_h)
+        max_ty = jnp.minimum(g.out_h - 1, cy + ry - half_h)
+
+        x0 = jnp.minimum(min_tx, g.out_w - g.span_x)
+        y0 = jnp.minimum(min_ty, g.out_h - g.span_y)
+        ya = (y0 >> 5) * ROW_ALIGN
+        xa = (x0 >> 7) * LANE_ALIGN
+        cp = pltpu.make_async_copy(
+            frames_hbm.at[t, pl.ds(ya, g.slab_h), pl.ds(xa, g.slab_w)],
+            slab_ref, sem,
+        )
+        cp.start()
+        cp.wait()
+        slab = (
+            slab_ref[:, :].astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / 255.0)
+        )
+        slab = pltpu.roll(slab, g.slab_h - (y0 - ya), 0)
+        slab = pltpu.roll(slab, g.slab_w - (x0 - xa), 1)
+
+        lane = lax.broadcasted_iota(jnp.int32, (8, TX), 1)
+        f32 = jnp.float32
+
+        if rung == "dma":
+            # Consume the slab so nothing is eliminated; keep state moving
+            # so every frame's DMA window differs like production.
+            chk = jnp.sum(slab[:ty, :TX])
+            si_ref[0] = jnp.minimum(bx + 1, g.frame_w - tw - 1)
+            si_ref[1] = jnp.minimum(by + (t & 1), g.frame_h - th - 1)
+            out_ref[:, :] = jnp.where(lane == 4, chk, 0.0)
+            return
+
+        t_mean, t_std_in, sum_tc = sf_ref[0], sf_ref[1], sf_ref[2]
+        row8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 0)
+        col8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 1)
+        acc = jnp.zeros((ty, TX), jnp.float32)
+        bsum = jnp.zeros((ty, tile_lanes), jnp.float32)
+        bsq = jnp.zeros((ty, tile_lanes), jnp.float32)
+        for k in range(g.k_blocks):
+            w_ = slab[8 * k : 8 * k + ty + 8, :tile_lanes]
+            wsq = w_ * w_
+            valid8 = ((8 * k + row8) < th) & (col8 < tw)
+            t8 = jnp.where(valid8, tpl_ref[pl.ds(8 * k, 8), :] - t_mean, 0.0)
+            for p in range(8):
+                if 8 * k + p >= th:
+                    break
+                b = jnp.broadcast_to(t8[p : p + 1, :], (TX, m_lanes))
+                tt = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)
+                t1p = lax.dot_general(
+                    w_, tt[:, :tile_lanes],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+                acc = acc + t1p[p : p + ty, :]
+                bsum = bsum + w_[p : p + ty, :]
+                bsq = bsq + wsq[p : p + ty, :]
+
+        def dot_f32(a, b):
+            return lax.dot_general(
+                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+
+        acc_sum = dot_f32(bsum, box_ref[:, :])
+        acc_ssq = dot_f32(bsq, box_ref[:, :])
+        mean = acc_sum / n
+        var = acc_ssq / n - mean * mean
+        std = jnp.sqrt(jnp.maximum(var, 1e-6))
+        cov = acc - mean * sum_tc
+        s = cov / ((std + 1e-6) * (t_std_in + 1e-6) * n)
+
+        if rung == "score":
+            chk = jnp.sum(s)
+            si_ref[0] = jnp.minimum(bx + 1, g.frame_w - tw - 1)
+            si_ref[1] = jnp.minimum(by + (t & 1), g.frame_h - th - 1)
+            out_ref[:, :] = jnp.where(lane == 4, chk, 0.0)
+            return
+
+        dy = lax.broadcasted_iota(jnp.int32, (ty, TX), 0)
+        dx = lax.broadcasted_iota(jnp.int32, (ty, TX), 1)
+        mask = (
+            (dx >= min_tx - x0) & (dx <= max_tx - x0)
+            & (dy >= min_ty - y0) & (dy <= max_ty - y0)
+        )
+        masked = jnp.where(mask, s, -jnp.inf)
+        best_val = jnp.max(masked)
+        is_best = masked == best_val
+        bdy = jnp.min(jnp.where(is_best, dy, BIG))
+        bdx = jnp.min(jnp.where(is_best & (dy == bdy), dx, BIG))
+        best_x = x0 + bdx
+        best_y = y0 + bdy
+
+        accept = best_val >= jnp.float32(config.min_confidence)
+        new_bx = jnp.where(accept, best_x, bx)
+        new_by = jnp.where(accept, best_y, by)
+        si_ref[0] = new_bx
+        si_ref[1] = new_by
+        si_ref[2] = jnp.where(accept, tw, bw)
+        si_ref[3] = jnp.where(accept, th, bh)
+
+        if rung == "argmax":
+            out_ref[:, :] = (
+                jnp.where(lane == 0, new_bx.astype(f32), 0.0)
+                + jnp.where(lane == 4, best_val, 0.0)
+            )
+            return
+
+        strong = accept & (best_val >= jnp.float32(config.strong_confidence))
+        patch_rows = pltpu.roll(slab, g.slab_h - bdy, 0)
+        patch_full = pltpu.roll(patch_rows, g.slab_w - bdx, 1)
+        rowm = lax.broadcasted_iota(jnp.int32, (g.rows8, m_lanes), 0)
+        colm = lax.broadcasted_iota(jnp.int32, (g.rows8, m_lanes), 1)
+        tvalid = (rowm < th) & (colm < tw)
+        patch = jnp.where(tvalid, patch_full[: g.rows8, :m_lanes], 0.0)
+        tpl_old = tpl_ref[:, :]
+        tpl_new = (1.0 - lr) * tpl_old + lr * patch
+        tpl_upd = jnp.where(strong, tpl_new, tpl_old)
+        tpl_ref[:, :] = tpl_upd
+        total = jnp.sum(tpl_new)
+        mean_new = total / n
+        var_new = jnp.sum(tpl_new * tpl_new) / n - mean_new * mean_new
+        std_new = jnp.sqrt(jnp.maximum(var_new, 0.0)) + 1e-6
+        sum_tc_new = jnp.sum(jnp.where(tvalid, tpl_new - mean_new, 0.0))
+        sf_ref[0] = jnp.where(strong, mean_new, t_mean)
+        sf_ref[1] = jnp.where(strong, std_new, t_std_in)
+        sf_ref[2] = jnp.where(strong, sum_tc_new, sum_tc)
+        out_ref[:, :] = (
+            jnp.where(lane == 0, new_bx.astype(f32), 0.0)
+            + jnp.where(lane == 4, best_val, 0.0)
+        )
+
+        @pl.when(t == pl.num_programs(0) - 1)
+        def _():
+            tplout_ref[:, :] = tpl_ref[:, :]
+
+    from pvot.ops.ncc_pallas import TX as TX_
+
+    vmem_budget = (
+        g.slab_h * g.slab_w * 5
+        + 4 * 3 * g.rows8 * g.m_lanes
+        + 4 * g.tile_lanes * TX_
+        + 4 * (g.ty + 8) * g.m_lanes * 4
+        + 24 * 1024 * 1024
+    )
+
+    def call(framesp, tpl0, box, sf0, si0):
+        return pl.pallas_call(
+            kernel,
+            grid=(f,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((8, TX_), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g.rows8, g.m_lanes), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((f * 8, TX_), jnp.float32),
+                jax.ShapeDtypeStruct((g.rows8, g.m_lanes), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((g.slab_h, g.slab_w), jnp.uint8),
+                pltpu.VMEM((g.rows8, g.m_lanes), jnp.float32),
+                pltpu.SMEM((4,), jnp.float32),
+                pltpu.SMEM((8,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
+        )(framesp, tpl0, box, sf0, si0)
+
+    import jax
+
+    return jax.jit(call)
+
+
+def main(width=1280, height=720, templ=80, chunk=512):
+    from pvot.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.ops.ncc_mega import MegaGeometry
+    from pvot.ops.ncc_pallas import _box_operator
+
+    config = TrackerConfig()
+    g = MegaGeometry((height, width), (templ, templ), config)
+    spec = SyntheticSpec(width=width, height=height, num_frames=chunk + 1,
+                         target_w=templ, target_h=templ, seed=1)
+    frames = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    template = gray_u8_to_f32(frames[0])[y : y + h, x : x + w]
+
+    framesp = jnp.pad(
+        jnp.asarray(frames[1:]),
+        ((0, 0), (0, g.pad_h - g.frame_h), (0, g.pad_w - g.frame_w)),
+    )
+    tpl0 = jnp.pad(jnp.asarray(template),
+                   ((0, g.rows8 - g.th), (0, g.m_lanes - g.tw)))
+    t_mean = float(np.mean(template))
+    t_std = float(np.std(template)) + 1e-6
+    sf0 = jnp.asarray([t_mean, t_std, float(np.sum(template - t_mean)),
+                       0, 0, 0, 0, 0], jnp.float32)
+    si0 = jnp.asarray([x, y, w, h, 0, 0, chunk, 0], jnp.int32)
+    box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
+
+    rungs = ["dma", "score", "argmax", "full"]
+    fns = {}
+    staged = {}
+    for r in rungs:
+        fns[r] = build_rung(r, g, config, chunk)
+        # Perturb per rung (distinct input buffers) to defeat cross-rung
+        # caching artifacts; same bits.
+        staged[r] = jax.device_put(framesp)
+        out = fns[r](staged[r], tpl0, box, sf0, si0)
+        jax.block_until_ready(out)
+        print(f"compiled {r}", flush=True)
+
+    flip = jax.jit(lambda a: a @ a)(jnp.eye(128, dtype=jnp.float32))
+    flip.copy_to_host_async()
+    jax.block_until_ready(flip)
+    _ = np.asarray(flip)
+
+    results = {}
+    for r in rungs:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows, tplout = fns[r](staged[r], tpl0, box, sf0, si0)
+            s = float(jnp.sum(rows[:, 4]).block_until_ready())
+            best = min(best, time.perf_counter() - t0)
+        results[r] = round(best / chunk * 1e6, 2)
+        print(json.dumps({r: {"us_per_frame": results[r], "chk": s}}),
+              flush=True)
+    deltas = {}
+    prev = 0.0
+    for r in rungs:
+        deltas[r] = round(results[r] - prev, 2)
+        prev = results[r]
+    print(json.dumps({"mega_breakdown": results, "deltas": deltas}))
+
+
+if __name__ == "__main__":
+    main()
