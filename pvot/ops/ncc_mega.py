@@ -128,6 +128,7 @@ def _mega_kernel(
     *,
     g: MegaGeometry,
     config: TrackerConfig,
+    highest: bool = True,
 ):
     t = pl.program_id(0)
     num_t = pl.num_programs(0)
@@ -230,18 +231,40 @@ def _mega_kernel(
         wsq = w * w
         valid8 = ((8 * k + row8) < th) & (col8 < tw)
         t8 = jnp.where(valid8, tpl_ref[pl.ds(8 * k, 8), :] - t_mean, 0.0)
+        if not highest:
+            # Fast tier: 3-pass bf16 hi/lo decomposition of the shear dot
+            # (the in-kernel precision=HIGH analog, same structure as
+            # ncc_pallas._dot_hl3; hi/lo commutes with the roll, so the
+            # roll stays f32 and the split happens on the rolled value —
+            # keeping the RHS a VALUE, the shear precision caution).
+            wh = w.astype(jnp.bfloat16)
+            wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
         for p in range(8):
             if 8 * k + p >= th:
                 break
             b = jnp.broadcast_to(t8[p : p + 1, :], (TX, m_lanes))
             tt = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)
-            t1p = lax.dot_general(
-                w,
-                tt[:, :tile_lanes],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,
-            )
+            if highest:
+                t1p = lax.dot_general(
+                    w,
+                    tt[:, :tile_lanes],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+            else:
+                tv = tt[:, :tile_lanes]
+                tth = tv.astype(jnp.bfloat16)
+                ttl = (tv - tth.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def d1(a_, b_):
+                    return lax.dot_general(
+                        a_, b_,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                t1p = d1(wh, tth) + d1(wh, ttl) + d1(wl, tth)
             acc = acc + t1p[p : p + ty, :]
             bsum = bsum + w[p : p + ty, :]
             bsq = bsq + wsq[p : p + ty, :]
@@ -345,7 +368,9 @@ def _mega_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("frame_shape", "templ_shape", "config", "interpret"),
+    static_argnames=(
+        "frame_shape", "templ_shape", "config", "interpret", "highest",
+    ),
 )
 def mega_track_chunk(
     frames_u8: jax.Array,  # (F, H, W) uint8
@@ -360,6 +385,7 @@ def mega_track_chunk(
     templ_shape: Tuple[int, int],
     config: TrackerConfig,
     interpret: bool = False,
+    highest: bool = True,
 ):
     """Run one chunk through the mega-kernel.
 
@@ -367,17 +393,29 @@ def mega_track_chunk(
     final template (th, tw) f32).  The caller derives the chunk-final
     TrackerState from the last row + template_stats(final template) and
     treats any O_POISON=1 row as "redo this chunk on the scan path".
+
+    highest=False runs the dominant shear correlation as a 3-pass bf16
+    hi/lo decomposition (the fast-tier analog — same trajectory-identity
+    caveat as the other fast engines, guarded per-run by bench.py's
+    ground-truth check).
+
+    frames_u8 may arrive pre-padded to (F, g.pad_h, g.pad_w): staging the
+    pad on the host moves its ~2 GB/chunk device copy out of the hot path
+    (tools/mega_dispatch_ab.py attribution).
     """
     g = MegaGeometry(frame_shape, templ_shape, config)
     f = frames_u8.shape[0]
-    framesp = jnp.pad(
-        frames_u8,
-        (
-            (0, 0),
-            (0, g.pad_h - g.frame_h),
-            (0, g.pad_w - g.frame_w),
-        ),
-    )
+    if frames_u8.shape[1:] == (g.pad_h, g.pad_w):
+        framesp = frames_u8
+    else:
+        framesp = jnp.pad(
+            frames_u8,
+            (
+                (0, 0),
+                (0, g.pad_h - g.frame_h),
+                (0, g.pad_w - g.frame_w),
+            ),
+        )
     tpl0 = jnp.pad(
         template.astype(jnp.float32),
         ((0, g.rows8 - g.th), (0, g.m_lanes - g.tw)),
@@ -402,7 +440,9 @@ def mega_track_chunk(
         ]
     )
     box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
-    kernel = functools.partial(_mega_kernel, g=g, config=config)
+    kernel = functools.partial(
+        _mega_kernel, g=g, config=config, highest=highest
+    )
     vmem_budget = (
         g.slab_h * g.slab_w * 5  # u8 slab + one f32 copy
         + 4 * 3 * g.rows8 * g.m_lanes  # template scratch/in/out + centered

@@ -119,6 +119,40 @@ def test_mega_geometry_fallback():
     _assert_equal(want, got)
 
 
+def test_mega_fast_tier_and_prepad():
+    """highest=False (3-pass bf16 hi/lo shear dot) must track the HIGHEST
+    kernel's trajectory on the fixture with only fast-tier score drift;
+    pre-padded frames must produce bit-identical records."""
+    from pvot.ops.ncc_mega import mega_track_chunk
+
+    frames, state = _setup(SPEC)
+    args = (
+        jnp.asarray([int(state.bbox_x), int(state.bbox_y),
+                     int(state.bbox_w), int(state.bbox_h)], jnp.int32),
+        state.template, state.t_mean, state.t_std,
+        state.lost_count, state.use_global, jnp.int32(8),
+    )
+    kw = dict(frame_shape=(94, 250), templ_shape=(16, 16), config=CONFIG,
+              interpret=True)
+    rows_hi, tpl_hi = mega_track_chunk(jnp.asarray(frames[1:9]), *args, **kw)
+    rows_fast, tpl_fast = mega_track_chunk(
+        jnp.asarray(frames[1:9]), *args, highest=False, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rows_hi[:, :4]), np.asarray(rows_fast[:, :4])
+    )
+    drift = float(np.max(np.abs(
+        np.asarray(rows_hi[:, 4]) - np.asarray(rows_fast[:, 4])
+    )))
+    assert drift < 1e-4, drift
+    g = MegaGeometry((94, 250), (16, 16), CONFIG)
+    prepad = np.zeros((8, g.pad_h, g.pad_w), np.uint8)
+    prepad[:, :94, :250] = frames[1:9]
+    rows_pp, tpl_pp = mega_track_chunk(jnp.asarray(prepad), *args, **kw)
+    np.testing.assert_array_equal(np.asarray(rows_hi), np.asarray(rows_pp))
+    np.testing.assert_array_equal(np.asarray(tpl_hi), np.asarray(tpl_pp))
+
+
 def test_track_video_backend_mega_routes():
     """pvot.track_video(backend=\"mega\") reaches the mega driver (here its
     geometry/probe fallback arm on CPU) and matches the scan path."""
