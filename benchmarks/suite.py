@@ -338,6 +338,124 @@ def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
     }
 
 
+def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
+                            num_frames=256, chunk_size=64, highest=True):
+    """Serving on the MULTI-STREAM mega kernel: every chunk of every stream
+    in ONE pallas_call (grid (S, F), pvot.ops.ncc_mega.mega_track_chunk_multi).
+
+    The vmapped scan engines pay per-stream HBM buffer traffic that is
+    constant in S (aggregate FPS flat at ~8k, docs/PERFORMANCE.md); here
+    each stream runs at the single-stream mega rate, so the aggregate
+    should scale with S until the chip's sequential-grid throughput binds.
+    Frames stay uint8 on the wire; the in-jit pad to the kernel's aligned
+    extents is the only staging overhead (same as bench.py's mega path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.ops.ncc_mega import (
+        MegaGeometry,
+        O_BX,
+        O_POISON,
+        mega_track_chunk_multi,
+    )
+    from pvot.tracker.mega import _state_from_chunk
+    from pvot.tracker.state import init_state
+
+    config = TrackerConfig()
+    if not MegaGeometry((height, width), (templ, templ), config).supported():
+        return {
+            "config": f"multi_stream_{num_streams}x_720p",
+            "backend": "mega",
+            "skipped": "geometry outside the mega envelope",
+        }
+    # Unlike bench_multi_stream (which never trajectory-checks), this bench
+    # validates every stream against ground truth — so the sinusoid must
+    # stay trackable: short specs scale motion up (49 frames = 62 px/frame
+    # > radius 60), hence a >=257-frame spec sliced to the frames we run.
+    import itertools
+
+    from pvot.io.synthetic import generate_gray_frames
+
+    spec = SyntheticSpec(
+        width=width, height=height,
+        num_frames=max(257, num_frames + 1),
+        target_w=templ, target_h=templ, seed=1,
+    )
+    base = np.stack(list(itertools.islice(
+        generate_gray_frames(spec), num_frames + 1
+    )))
+    x, y, w, h = target_bbox(spec, 0)
+    templ_img = gray_u8_to_f32(base[0])[y : y + h, x : x + w]
+    one = init_state(jnp.asarray(templ_img), (x, y, w, h))
+    states = jax.tree.map(lambda a: jnp.stack([a] * num_streams), one)
+    # Streams share pixel content (synthetic); layout (S, C, H, W) chunks.
+    staged = [
+        jax.device_put(
+            np.broadcast_to(
+                base[1 + i : 1 + i + chunk_size][None],
+                (num_streams, chunk_size, height, width),
+            ).copy()
+        )
+        for i in range(0, num_frames, chunk_size)
+    ]
+    jax.block_until_ready(staged[-1])
+    extract = jax.jit(jax.vmap(_state_from_chunk))
+    n_valid = jnp.full((num_streams,), chunk_size, jnp.int32)
+
+    def run(fetch):
+        st = states
+        rows_all = []
+        for c in staged:
+            rows, tplout = mega_track_chunk_multi(
+                c,
+                jnp.stack(
+                    [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
+                ).astype(jnp.int32),
+                st.template, st.t_mean, st.t_std, st.lost_count,
+                st.use_global, n_valid,
+                frame_shape=(height, width), templ_shape=(h, w),
+                config=config, highest=highest,
+            )
+            st = extract(rows, tplout)
+            rows_all.append(rows)
+        dev = jnp.concatenate(rows_all, axis=1)  # (S, F, TX)
+        if not fetch:
+            return dev
+        dev.copy_to_host_async()
+        return np.asarray(dev)  # ONE packed transfer
+
+    host, elapsed = _stage_flip_time(lambda: run(False), lambda: run(True))
+    bboxes = host[:, :, O_BX : O_BX + 4].astype(np.int32)  # (S, F, 4)
+    errs = [
+        abs(int(bboxes[s, i, 0]) - target_bbox(spec, i + 1)[0])
+        + abs(int(bboxes[s, i, 1]) - target_bbox(spec, i + 1)[1])
+        for s in range(num_streams)
+        for i in range(num_frames)
+    ]
+    fps = num_frames / elapsed
+    flops = fused_region_flops(templ, 60)
+    achieved = flops * (num_frames / elapsed) * num_streams
+    return {
+        "config": f"multi_stream_{num_streams}x_720p",
+        "backend": "mega" if highest else "mega_fast",
+        "value": round(fps, 2),
+        "unit": "frames/s per stream (lockstep)",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "aggregate_fps": round(fps * num_streams, 1),
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_f32_highest_pct": round(100.0 * achieved / V5E_F32_HIGHEST_PEAK, 2),
+        "mfu_bf16_pct": round(100.0 * achieved / V5E_BF16_PEAK, 2),
+        "frames": num_frames,
+        "elapsed_s": round(elapsed, 4),
+        "max_l1_err_px": int(max(errs)),
+        "poisoned": int((host[:, :, O_POISON] != 0.0).sum()),
+    }
+
+
 def bench_pallas():
     """The hand-written Pallas engine on real hardware: on-device parity vs
     the matmul engine at headline geometry, then the tracked-FPS bench with
@@ -478,8 +596,14 @@ def bench_stream_sweep(sizes=(8, 16, 32, 64), backend="fast"):
     out = []
     for s in sizes:
         frames, chunk = plans.get(s, (64, 8))
-        out.append(bench_multi_stream(s, num_frames=frames, chunk_size=chunk,
-                                      backend=backend))
+        if backend == "mega":
+            out.append(bench_multi_stream_mega(
+                s, num_frames=frames, chunk_size=chunk,
+            ))
+        else:
+            out.append(bench_multi_stream(
+                s, num_frames=frames, chunk_size=chunk, backend=backend,
+            ))
     return out
 
 
@@ -538,6 +662,12 @@ CONFIGS = {
     "7sb": lambda frames: bench_stream_sweep(sizes=(16,), backend="pallas_shear"),
     "7sc": lambda frames: bench_stream_sweep(sizes=(32,), backend="pallas_shear"),
     "7sd": lambda frames: bench_stream_sweep(sizes=(64,), backend="pallas_shear"),
+    # Round-3d: the MULTI-STREAM mega kernel (all streams' chunk in ONE
+    # pallas_call, grid (S, F)) on the same sweep.
+    "7ma": lambda frames: bench_stream_sweep(sizes=(8,), backend="mega"),
+    "7mb": lambda frames: bench_stream_sweep(sizes=(16,), backend="mega"),
+    "7mc": lambda frames: bench_stream_sweep(sizes=(32,), backend="mega"),
+    "7md": lambda frames: bench_stream_sweep(sizes=(64,), backend="mega"),
     # Streams x batch combined (C10 parity semantics: one update / N frames).
     "8": lambda frames: bench_multi_stream(
         32, num_frames=128, chunk_size=16, frames_per_step=4
@@ -610,8 +740,38 @@ def main():
             os.unlink(tmp)
     if args.meta:
         results.append({"_meta": args.meta})
+    results = merge_results(args.out, results)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
+
+
+def merge_results(path: str, new: list) -> list:
+    """Merge a (possibly partial) run into an existing results file.
+
+    Records are keyed by (config, backend): a re-run config replaces its
+    old row IN PLACE (table order is stable), novel configs append before
+    the _meta row.  A partial `--configs 7md` run therefore refreshes one
+    row instead of clobbering the whole committed table (which is what a
+    bare overwrite did — the docs table is generated from this file)."""
+    try:
+        with open(path) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        return new
+    key = lambda r: (r.get("config"), r.get("backend"))  # noqa: E731
+    for rec in new:
+        if "_meta" in rec:
+            merged = [r for r in merged if "_meta" not in r] + [rec]
+            continue
+        for i, old in enumerate(merged):
+            if "_meta" not in old and key(old) == key(rec):
+                merged[i] = rec
+                break
+        else:
+            metas = [r for r in merged if "_meta" in r]
+            rows = [r for r in merged if "_meta" not in r]
+            merged = rows + [rec] + metas
+    return merged
 
 
 if __name__ == "__main__":

@@ -41,4 +41,8 @@ def __getattr__(name):  # lazy heavyweight entry points
         from pvot.tracker.mega import track_video_mega
 
         return track_video_mega
+    if name == "track_streams_mega":
+        from pvot.tracker.mega import track_streams_mega
+
+        return track_streams_mega
     raise AttributeError(f"module 'pvot' has no attribute {name!r}")

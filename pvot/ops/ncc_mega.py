@@ -111,10 +111,12 @@ class MegaGeometry:
 
 def _mega_kernel(
     # inputs
-    frames_hbm,  # (F, pad_h, pad_w) uint8 in HBM/ANY
+    frames_hbm,  # (S*F, pad_h, pad_w) uint8 in HBM/ANY (S=1 when not multi)
     tpl0_ref,  # (rows8, m_lanes) f32 VMEM: initial RAW template, zero-padded
+    #            (multi: the per-stream block, index map (s, 0))
     box_ref,  # (tile_lanes, TX) f32 VMEM: ones-row Toeplitz (box sums)
     sf0_ref,  # (8,) f32 SMEM: [t_mean, t_std, sum_tc, ...]
+    #           (multi: (1, 8) per-stream SMEM block)
     si0_ref,  # (8,) i32 SMEM: [bx, by, bw, bh, lost, use_global, n_valid, _]
     # outputs
     out_ref,  # (8, TX) f32 per frame: committed state + score/flags (row 0)
@@ -129,9 +131,31 @@ def _mega_kernel(
     g: MegaGeometry,
     config: TrackerConfig,
     highest: bool = True,
+    multi: bool = False,
 ):
-    t = pl.program_id(0)
-    num_t = pl.num_programs(0)
+    # multi=False: grid (F,) — one stream, scratch is the frame-loop carry.
+    # multi=True: grid (S, F), frame axis innermost — streams run back to
+    # back on the sequential grid, so ONE set of scratch state serves all
+    # streams: each stream re-initializes it at its own t == 0 and flushes
+    # its template at t == F-1 (the per-stream input/output blocks rotate
+    # via their (s, 0) index maps).
+    if multi:
+        s = pl.program_id(0)
+        num_t = pl.num_programs(1)
+        t = pl.program_id(1)
+        frame_idx = s * num_t + t
+        # Whole-array SMEM with a dynamic stream index: TPU lowering
+        # rejects (1, 8) SMEM *blocks* (block dims must be divisible by
+        # (8, 128) or equal the array), but scalar loads at a traced SMEM
+        # index are fine.
+        sf0 = lambda i: sf0_ref[s, i]  # noqa: E731
+        si0 = lambda i: si0_ref[s, i]  # noqa: E731
+    else:
+        t = pl.program_id(0)
+        num_t = pl.num_programs(0)
+        frame_idx = t
+        sf0 = lambda i: sf0_ref[i]  # noqa: E731
+        si0 = lambda i: si0_ref[i]  # noqa: E731
     th, tw, ty = g.th, g.tw, g.ty
     tile_lanes, m_lanes = g.tile_lanes, g.m_lanes
     n = float(th * tw)
@@ -142,11 +166,11 @@ def _mega_kernel(
     @pl.when(t == 0)
     def _():
         tpl_ref[:, :] = tpl0_ref[:, :]
-        sf_ref[0] = sf0_ref[0]
-        sf_ref[1] = sf0_ref[1]
-        sf_ref[2] = sf0_ref[2]
+        sf_ref[0] = sf0(0)
+        sf_ref[1] = sf0(1)
+        sf_ref[2] = sf0(2)
         for i in range(6):
-            si_ref[i] = si0_ref[i]
+            si_ref[i] = si0(i)
         si_ref[6] = 0  # poison
         si_ref[7] = 0
 
@@ -154,7 +178,7 @@ def _mega_kernel(
     bw, bh = si_ref[2], si_ref[3]
     lost, useg = si_ref[4], si_ref[5]
     poisoned = si_ref[6]
-    n_valid = si0_ref[6]
+    n_valid = si0(6)
 
     # --- Mode selection (pvot.tracker.step / main.cpp:399-413); >> 1
     # replaces // 2 (non-negative here; Mosaic rejects in-kernel division,
@@ -197,7 +221,7 @@ def _mega_kernel(
     ya = (y0 >> 5) * ROW_ALIGN
     xa = (x0 >> 7) * LANE_ALIGN
     cp = pltpu.make_async_copy(
-        frames_hbm.at[t, pl.ds(ya, g.slab_h), pl.ds(xa, g.slab_w)],
+        frames_hbm.at[frame_idx, pl.ds(ya, g.slab_h), pl.ds(xa, g.slab_w)],
         slab_ref,
         sem,
     )
@@ -483,3 +507,137 @@ def mega_track_chunk(
     )(framesp, tpl0, box, sf0, si0)
     rows = rows.reshape(f, 8, TX)[:, 0, :]
     return rows, tplout[: g.th, : g.tw]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "frame_shape", "templ_shape", "config", "interpret", "highest",
+    ),
+)
+def mega_track_chunk_multi(
+    frames_u8: jax.Array,  # (S, F, H, W) uint8 (or pre-padded (S, F, ph, pw))
+    bbox: jax.Array,  # (S, 4) i32
+    template: jax.Array,  # (S, th, tw) f32
+    t_mean: jax.Array,  # (S,)
+    t_std: jax.Array,  # (S,)
+    lost_count: jax.Array,  # (S,)
+    use_global: jax.Array,  # (S,)
+    n_valid: jax.Array,  # (S,) i32: per-stream valid-frame count
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+    highest: bool = True,
+):
+    """S independent streams through ONE pallas_call: grid (S, F), frame
+    axis innermost, so stream s's frames run back to back and the kernel's
+    scratch state is re-seeded per stream from the (s, 0)-indexed input
+    blocks.  This is the serving layout's mega path: the vmapped scan
+    engines pay constant per-stream HBM buffer traffic (aggregate FPS flat
+    at ~8k for any S, docs/PERFORMANCE.md "Saturation point"), while here
+    every stream runs at the single-stream mega rate — no score map,
+    operator, or f32 frame ever in HBM, S*F frames per dispatch.
+
+    Returns (rows (S, F, TX) f32 per-frame records, final templates
+    (S, th, tw) f32).  Poison semantics are per stream: a stream whose
+    state machine would go global freezes and tombstones its remaining
+    frames; other streams are unaffected (the driver re-runs only the
+    poisoned stream on the scan path — pvot.tracker.mega.track_streams_mega).
+    """
+    g = MegaGeometry(frame_shape, templ_shape, config)
+    s_streams, f = frames_u8.shape[:2]
+    if frames_u8.shape[2:] == (g.pad_h, g.pad_w):
+        framesp = frames_u8.reshape(s_streams * f, g.pad_h, g.pad_w)
+    else:
+        framesp = jnp.pad(
+            frames_u8,
+            (
+                (0, 0),
+                (0, 0),
+                (0, g.pad_h - g.frame_h),
+                (0, g.pad_w - g.frame_w),
+            ),
+        ).reshape(s_streams * f, g.pad_h, g.pad_w)
+    tpl0 = jnp.pad(
+        template.astype(jnp.float32),
+        ((0, 0), (0, g.rows8 - g.th), (0, g.m_lanes - g.tw)),
+    ).reshape(s_streams * g.rows8, g.m_lanes)
+    t_centered_sum = jnp.sum(
+        template.astype(jnp.float32) - t_mean[:, None, None], axis=(1, 2)
+    )
+    zeros = jnp.zeros((s_streams,), jnp.float32)
+    sf0 = jnp.stack(
+        [
+            t_mean.astype(jnp.float32), t_std.astype(jnp.float32),
+            t_centered_sum, zeros, zeros, zeros, zeros, zeros,
+        ],
+        axis=-1,
+    )  # (S, 8)
+    izeros = jnp.zeros((s_streams,), jnp.int32)
+    si0 = jnp.stack(
+        [
+            bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3],
+            lost_count.astype(jnp.int32),
+            use_global.astype(jnp.int32),
+            n_valid.astype(jnp.int32),
+            izeros,
+        ],
+        axis=-1,
+    )  # (S, 8)
+    box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
+    kernel = functools.partial(
+        _mega_kernel, g=g, config=config, highest=highest, multi=True
+    )
+    vmem_budget = (
+        g.slab_h * g.slab_w * 5
+        + 4 * 6 * g.rows8 * g.m_lanes  # double-buffered tpl in/out + scratch
+        + 4 * g.tile_lanes * TX
+        + 4 * (g.ty + 8) * g.m_lanes * 4
+        + 24 * 1024 * 1024
+    )
+    rows, tplout = pl.pallas_call(
+        kernel,
+        grid=(s_streams, f),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (g.rows8, g.m_lanes), lambda s, t: (s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g.tile_lanes, TX), lambda s, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (8, TX), lambda s, t, _f=f: (s * _f + t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g.rows8, g.m_lanes), lambda s, t: (s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((s_streams * f * 8, TX), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (s_streams * g.rows8, g.m_lanes), jnp.float32
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g.slab_h, g.slab_w), jnp.uint8),
+            pltpu.VMEM((g.rows8, g.m_lanes), jnp.float32),
+            pltpu.SMEM((4,), jnp.float32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
+        interpret=interpret,
+    )(framesp, tpl0, box, sf0, si0)
+    rows = rows.reshape(s_streams, f, 8, TX)[:, :, 0, :]
+    tplout = tplout.reshape(s_streams, g.rows8, g.m_lanes)
+    return rows, tplout[:, : g.th, : g.tw]

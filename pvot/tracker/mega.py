@@ -35,6 +35,7 @@ from pvot.ops.ncc_mega import (
     O_UPDATED,
     O_USEG,
     mega_track_chunk,
+    mega_track_chunk_multi,
 )
 from pvot.ops.ncc_reference import template_stats
 from pvot.tracker.scan import track_video
@@ -238,4 +239,213 @@ def track_video_mega(
 
     return cur, StepOutput(
         *(np.concatenate(xs) for xs in zip(*results))
+    )
+
+
+def mega_multi_supported(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+) -> bool:
+    """Compile + numerics probe for the MULTI-stream mega kernel at the
+    served geometry (its BlockSpec layout differs from the single-stream
+    call — per-stream (s, 0)-indexed template/state blocks — so it must
+    prove itself separately against the scan path)."""
+    key = (
+        "multi", jax.default_backend(), frame_shape, templ_shape, config,
+        interpret,
+    )
+    if key not in _SUPPORT_CACHE:
+        try:
+            g = MegaGeometry(frame_shape, templ_shape, config)
+            if not g.supported():
+                raise ValueError("geometry outside mega envelope")
+            rng = np.random.default_rng(12)
+            h, w = frame_shape
+            th, tw = templ_shape
+            videos = rng.integers(0, 256, (2, 5, h, w), np.uint8)
+            from pvot.io.gray import gray_u8_to_f32
+            from pvot.tracker.state import init_state
+
+            states = []
+            for s in range(2):
+                x = (w - tw) // 2 + 2 * s
+                y = (h - th) // 2 - s
+                templ = jnp.asarray(
+                    gray_u8_to_f32(videos[s, 0])[y : y + th, x : x + tw]
+                )
+                states.append(init_state(templ, (x, y, tw, th)))
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+            _, got = track_streams_mega(
+                videos[:, 1:], stacked, config, chunk_size=4,
+                interpret=interpret, _probe=True,
+            )
+            for s in range(2):
+                _, want = track_video(
+                    videos[s, 1:], states[s], config, strategy="fused",
+                    backend="pallas_shear", chunk_size=4,
+                )
+                if not (
+                    np.array_equal(want.bbox, got.bbox[:, s])
+                    and np.array_equal(want.updated, got.updated[:, s])
+                    and np.allclose(want.score, got.score[:, s], atol=1e-5)
+                ):
+                    raise ValueError(
+                        f"mega multi probe mismatch (stream {s}): "
+                        f"{got.bbox[:, s].tolist()} vs {want.bbox.tolist()}"
+                    )
+            ok = True
+        except Exception:
+            import traceback
+
+            _SUPPORT_CACHE["last_error"] = traceback.format_exc()
+            ok = False
+        if not ok:
+            import sys
+
+            print(
+                "pvot: multi-stream mega kernel unavailable at geometry "
+                f"frame={frame_shape} templ={templ_shape} "
+                "(probe failed); serving falls back to the scan engines",
+                file=sys.stderr,
+            )
+        _SUPPORT_CACHE[key] = ok
+    return _SUPPORT_CACHE[key]
+
+
+def _track_streams_scan(
+    videos: np.ndarray,
+    states: TrackerState,
+    config: TrackerConfig,
+    chunk_size: int,
+    scan_backend: str,
+) -> Tuple[TrackerState, StepOutput]:
+    """Per-stream scan-path fallback with track_streams_mega's output
+    contract ((F, S) leading layout)."""
+    finals, outs = [], []
+    for s in range(videos.shape[0]):
+        st = jax.tree.map(lambda a, _s=s: a[_s], states)
+        fs, out = track_video(
+            videos[s], st, config, strategy="fused", backend=scan_backend,
+            chunk_size=chunk_size,
+        )
+        finals.append(fs)
+        outs.append(out)
+    final = jax.tree.map(lambda *xs: jnp.stack(xs), *finals)
+    return final, StepOutput(
+        *(np.stack(xs, axis=1) for xs in zip(*outs))
+    )
+
+
+def track_streams_mega(
+    videos: np.ndarray,
+    states: TrackerState,
+    config: TrackerConfig = TrackerConfig(),
+    chunk_size: int = 256,
+    scan_backend: str = "pallas_shear",
+    interpret: bool = False,
+    _probe: bool = False,
+) -> Tuple[TrackerState, StepOutput]:
+    """Track S independent pre-decoded streams (S, F, H, W) uint8 on the
+    multi-stream mega path: every chunk is ONE pallas_call covering all
+    S streams (grid (S, F)), so serving runs at the single-stream mega
+    rate per stream instead of the vmapped scan engines' flat ~8k
+    aggregate (docs/PERFORMANCE.md "Saturation point").
+
+    `states` is a stacked TrackerState (leading S axis, as built by
+    pvot.parallel.multi.init_multi_state).  Returns (final stacked states,
+    StepOutput with (F, S) leading layout — the track_video_multi
+    convention).  Poison (global-search) semantics are per stream: only
+    the poisoned stream re-runs from its last good chunk, through
+    track_video_mega (scan path for the poisoned chunk, mega again after).
+    """
+    videos = np.asarray(videos)
+    if videos.ndim != 4:
+        raise ValueError(f"expected (S, F, H, W) videos, got {videos.shape}")
+    s_streams, f, h, w = videos.shape
+    th, tw = states.template.shape[-2:]
+    g = MegaGeometry((h, w), (th, tw), config)
+    if f == 0 or videos.dtype != np.uint8 or not g.supported() or (
+        not _probe
+        and not mega_multi_supported(
+            (h, w), (th, tw), config, interpret=interpret
+        )
+    ):
+        return _track_streams_scan(
+            videos, states, config, chunk_size, scan_backend
+        )
+
+    cs = min(chunk_size, f)
+    num_chunks = -(-f // cs)
+    extract = jax.jit(jax.vmap(_state_from_chunk))
+
+    # Optimistic pass: enqueue every chunk for every stream, ONE packed
+    # fetch of all records.  Snapshots (device-held, tiny) let poisoned
+    # streams roll back to their last good chunk boundary.
+    snapshots = []
+    rows_chunks = []
+    st = states
+    for j in range(num_chunks):
+        chunk = videos[:, j * cs : (j + 1) * cs]
+        n_real = chunk.shape[1]
+        if n_real < cs:
+            pad = np.repeat(chunk[:, -1:], cs - n_real, axis=1)
+            chunk = np.concatenate([chunk, pad], axis=1)
+        snapshots.append(st)
+        rows, tplout = mega_track_chunk_multi(
+            jax.device_put(chunk),
+            jnp.stack(
+                [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
+            ).astype(jnp.int32),
+            st.template,
+            st.t_mean,
+            st.t_std,
+            st.lost_count,
+            st.use_global,
+            jnp.full((s_streams,), n_real, jnp.int32),
+            frame_shape=(h, w),
+            templ_shape=(th, tw),
+            config=config,
+            interpret=interpret,
+        )
+        st = extract(rows, tplout)
+        rows_chunks.append(rows)
+    packed = jnp.concatenate(rows_chunks, axis=1)  # (S, num_chunks*cs, TX)
+    packed.copy_to_host_async()
+    host = np.asarray(packed)  # the single fetch
+
+    final_states = [None] * s_streams
+    stream_outs = [None] * s_streams
+    for s in range(s_streams):
+        chunks_out = []
+        poisoned_at = None
+        for j in range(num_chunks):
+            n_real = min(cs, f - j * cs)
+            rs = host[s, j * cs : j * cs + n_real]
+            if (rs[:, O_POISON] != 0.0).any():
+                poisoned_at = j
+                break
+            chunks_out.append(_rows_to_output(rs))
+        if poisoned_at is None:
+            final_states[s] = jax.tree.map(lambda a, _s=s: a[_s], st)
+        else:
+            # Only this stream rolls back: scan path for the poisoned
+            # chunk, mega again afterwards (track_video_mega's own
+            # transaction loop).
+            snap = jax.tree.map(
+                lambda a, _s=s: a[_s], snapshots[poisoned_at]
+            )
+            fs, out = track_video_mega(
+                videos[s, poisoned_at * cs :], snap, config, chunk_size=cs,
+                scan_backend=scan_backend, interpret=interpret,
+            )
+            final_states[s] = fs
+            chunks_out.append(out)
+        stream_outs[s] = StepOutput(
+            *(np.concatenate(xs) for xs in zip(*chunks_out))
+        )
+    final = jax.tree.map(lambda *xs: jnp.stack(xs), *final_states)
+    return final, StepOutput(
+        *(np.stack(xs, axis=1) for xs in zip(*stream_outs))
     )

@@ -223,6 +223,126 @@ def test_cli_mega_flag_parses():
     assert args.mode == "mega"
 
 
+def test_mega_multi_stream_matches_per_stream():
+    """The multi-stream mega kernel (grid (S, F), per-stream (s, 0) input
+    blocks) must match the per-stream scan path exactly — including the
+    scratch-state re-seed at each stream boundary."""
+    from pvot.tracker.mega import track_streams_mega
+
+    specs = [
+        SyntheticSpec(width=250, height=94, num_frames=14, target_w=16,
+                      target_h=16, seed=3 + s, noise_std=1.0)
+        for s in range(3)
+    ]
+    videos, states = [], []
+    for spec in specs:
+        frames, state = _setup(spec)
+        videos.append(frames)
+        states.append(state)
+    videos = np.stack(videos)
+    import jax
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    got_states, got = track_streams_mega(
+        videos[:, 1:], stacked, CONFIG, chunk_size=4, scan_backend="xla",
+        interpret=True, _probe=True,
+    )
+    assert got.bbox.shape == (13, 3, 4)
+    for s in range(3):
+        want_state, want = track_video(
+            videos[s, 1:], states[s], CONFIG, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        np.testing.assert_array_equal(want.bbox, got.bbox[:, s])
+        np.testing.assert_array_equal(want.updated, got.updated[:, s])
+        np.testing.assert_allclose(want.score, got.score[:, s], atol=1e-5)
+        assert int(got_states.bbox_x[s]) == int(want_state.bbox_x)
+        np.testing.assert_allclose(
+            np.asarray(got_states.template[s]),
+            np.asarray(want_state.template), atol=1e-6,
+        )
+
+
+def test_mega_multi_stream_per_stream_poison():
+    """One stream losing its object must poison and re-run ONLY that
+    stream; the others commit their mega records untouched."""
+    from pvot.tracker.mega import track_streams_mega
+
+    import itertools
+
+    from pvot.io.synthetic import generate_gray_frames
+
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    # Stream 0 must genuinely track locally under lost_frame_threshold=2:
+    # a 120-frame sinusoid sliced to 18 frames moves slowly enough (the
+    # 18-frame specs all outrun radius 8 and go global themselves).
+    spec_ok = SyntheticSpec(
+        width=250, height=94, num_frames=120, target_w=16, target_h=16,
+        seed=3, noise_std=1.0,
+    )
+    spec_lost = SyntheticSpec(
+        width=250, height=94, num_frames=18, target_w=16, target_h=16,
+        seed=5, exit_and_reenter=True,
+    )
+    videos, states = [], []
+    for spec in (spec_ok, spec_lost):
+        frames = np.stack(
+            list(itertools.islice(generate_gray_frames(spec), 18))
+        )
+        x, y, w, h = target_bbox(spec, 0)
+        templ = jnp.asarray(gray_u8_to_f32(frames[0])[y : y + h, x : x + w])
+        videos.append(frames)
+        states.append(init_state(templ, (x, y, w, h)))
+    videos = np.stack(videos)
+    import jax
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    got_states, got = track_streams_mega(
+        videos[:, 1:], stacked, config, chunk_size=4, scan_backend="xla",
+        interpret=True, _probe=True,
+    )
+    assert got.used_global[:, 1].any(), "lost stream must go global"
+    assert not got.used_global[:, 0].any()
+    for s in range(2):
+        want_state, want = track_video(
+            videos[s, 1:], states[s], config, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        np.testing.assert_array_equal(want.bbox, got.bbox[:, s])
+        np.testing.assert_array_equal(want.updated, got.updated[:, s])
+        np.testing.assert_array_equal(
+            want.used_global, got.used_global[:, s]
+        )
+        np.testing.assert_allclose(want.score, got.score[:, s], atol=1e-5)
+        assert int(got_states.bbox_x[s]) == int(want_state.bbox_x)
+
+
+def test_mega_multi_stream_scan_fallback():
+    """Outside the mega envelope, track_streams_mega falls back to the
+    per-stream scan path with the same output contract."""
+    from pvot.tracker.mega import track_streams_mega
+
+    config = TrackerConfig(search_radius_x=70, search_radius_y=8)
+    frames, state = _setup(SPEC)
+    videos = np.stack([frames, frames])
+    import jax
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[state, state])
+    got_states, got = track_streams_mega(
+        videos[:, 1:], stacked, config, chunk_size=4, scan_backend="xla",
+        interpret=True,
+    )
+    want_state, want = track_video(
+        frames[1:], state, config, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    for s in range(2):
+        np.testing.assert_array_equal(want.bbox, got.bbox[:, s])
+        np.testing.assert_allclose(want.score, got.score[:, s], atol=1e-5)
+
+
 def test_mega_f32_frames_fallback():
     frames, state = _setup(SPEC)
     frames_f32 = gray_u8_to_f32(frames)

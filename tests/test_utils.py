@@ -116,6 +116,49 @@ def test_performance_doc_check_ignores_new_bench_artifacts():
         os.remove(probe)
 
 
+def test_suite_merge_results_partial_run(tmp_path):
+    """A partial suite run (--configs 7md) must refresh only its own rows
+    in results.json — replacing matching (config, backend) rows in place,
+    appending novel ones before _meta, never clobbering the rest (the
+    round-3 regression: a 4-config sweep erased the whole committed
+    table the docs are generated from)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from benchmarks.suite import merge_results
+
+    existing = [
+        {"config": "a", "backend": "fast", "value": 1},
+        {"config": "b", "backend": "mega", "value": 2},
+        {"_meta": "old"},
+    ]
+    path = tmp_path / "results.json"
+    path.write_text(json.dumps(existing))
+    merged = merge_results(str(path), [
+        {"config": "b", "backend": "mega", "value": 99},  # replace in place
+        {"config": "c", "backend": "mega", "value": 3},  # novel: append
+        {"_meta": "new"},
+    ])
+    assert merged == [
+        {"config": "a", "backend": "fast", "value": 1},
+        {"config": "b", "backend": "mega", "value": 99},
+        {"config": "c", "backend": "mega", "value": 3},
+        {"_meta": "new"},
+    ]
+    # Same config under a DIFFERENT backend is a distinct row.
+    merged2 = merge_results(str(path), [
+        {"config": "a", "backend": "mega", "value": 7},
+    ])
+    assert {"config": "a", "backend": "fast", "value": 1} in merged2
+    assert {"config": "a", "backend": "mega", "value": 7} in merged2
+    # Missing file: new results pass through.
+    assert merge_results(str(tmp_path / "none.json"), existing) == existing
+
+
 def test_jaxcache_enable_and_disable(tmp_path, monkeypatch):
     """enable_compilation_cache points JAX at a persistent cache dir and
     respects the PVOT_JAX_CACHE=0 opt-out."""
