@@ -596,9 +596,10 @@ def bench_stream_sweep(sizes=(8, 16, 32, 64), backend="fast"):
     out = []
     for s in sizes:
         frames, chunk = plans.get(s, (64, 8))
-        if backend == "mega":
+        if backend in ("mega", "mega_fast"):
             out.append(bench_multi_stream_mega(
                 s, num_frames=frames, chunk_size=chunk,
+                highest=(backend == "mega"),
             ))
         else:
             out.append(bench_multi_stream(
@@ -668,6 +669,10 @@ CONFIGS = {
     "7mb": lambda frames: bench_stream_sweep(sizes=(16,), backend="mega"),
     "7mc": lambda frames: bench_stream_sweep(sizes=(32,), backend="mega"),
     "7md": lambda frames: bench_stream_sweep(sizes=(64,), backend="mega"),
+    # The serving sweet spot (S=32) on the mega FAST tier (3-pass bf16
+    # hi/lo score dot; trajectory-checked against ground truth like every
+    # mega serving row).
+    "7mf": lambda frames: bench_stream_sweep(sizes=(32,), backend="mega_fast"),
     # Streams x batch combined (C10 parity semantics: one update / N frames).
     "8": lambda frames: bench_multi_stream(
         32, num_frames=128, chunk_size=16, frames_per_step=4

@@ -132,6 +132,8 @@ def _mega_kernel(
     config: TrackerConfig,
     highest: bool = True,
     multi: bool = False,
+    box_band: bool = False,
+    roll_u8: bool = False,
 ):
     # multi=False: grid (F,) — one stream, scratch is the frame-loop carry.
     # multi=True: grid (S, F), frame axis innermost — streams run back to
@@ -234,12 +236,23 @@ def _mega_kernel(
     # (y0, x0) — identical to the per-frame engines' region slice.  Roll
     # wraparound garbage lands beyond the rows/lanes any valid window or
     # masked-in score position reads (see module docstring).
-    slab = (
-        slab_ref[:, :].astype(jnp.int32).astype(jnp.float32)
-        * jnp.float32(1.0 / 255.0)
-    )
-    slab = pltpu.roll(slab, g.slab_h - (y0 - ya), 0)
-    slab = pltpu.roll(slab, g.slab_w - (x0 - xa), 1)
+    if roll_u8:
+        # Experimental (tools/mega_box_ab.py): roll the uint8 slab BEFORE
+        # the f32 conversion — 4x less roll traffic (96 KB vs 393 KB per
+        # axis).  Same math: the scale commutes with the roll.
+        s8 = pltpu.roll(slab_ref[:, :], g.slab_h - (y0 - ya), 0)
+        s8 = pltpu.roll(s8, g.slab_w - (x0 - xa), 1)
+        slab = (
+            s8.astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / 255.0)
+        )
+    else:
+        slab = (
+            slab_ref[:, :].astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / 255.0)
+        )
+        slab = pltpu.roll(slab, g.slab_h - (y0 - ya), 0)
+        slab = pltpu.roll(slab, g.slab_w - (x0 - xa), 1)
 
     # --- NCC scores: the shear formulation on value slices (mirrors
     # ncc_pallas._score_tile shear=True; kept in sync by
@@ -252,7 +265,8 @@ def _mega_kernel(
     bsq = jnp.zeros((ty, tile_lanes), jnp.float32)
     for k in range(g.k_blocks):  # static unroll
         w = slab[8 * k : 8 * k + ty + 8, :tile_lanes]
-        wsq = w * w
+        if not box_band:
+            wsq = w * w
         valid8 = ((8 * k + row8) < th) & (col8 < tw)
         t8 = jnp.where(valid8, tpl_ref[pl.ds(8 * k, 8), :] - t_mean, 0.0)
         if not highest:
@@ -290,8 +304,9 @@ def _mega_kernel(
 
                 t1p = d1(wh, tth) + d1(wh, ttl) + d1(wl, tth)
             acc = acc + t1p[p : p + ty, :]
-            bsum = bsum + w[p : p + ty, :]
-            bsq = bsq + wsq[p : p + ty, :]
+            if not box_band:
+                bsum = bsum + w[p : p + ty, :]
+                bsq = bsq + wsq[p : p + ty, :]
 
     def dot_f32(a, b):
         return lax.dot_general(
@@ -300,6 +315,24 @@ def _mega_kernel(
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
         )
+
+    if box_band:
+        # Experimental (tools/mega_box_ab.py): the VERTICAL box sums as one
+        # banded MXU dot each instead of 2 x th VPU adds of (ty, tile_lanes)
+        # slices.  band[dy, r] = 1 iff dy <= r < dy + th; HIGHEST keeps the
+        # products exact, but the reduction ORDER differs from the p-loop
+        # accumulation (and from the shear scan kernel), so scores can
+        # drift ~1 ulp — adopt only with a measured win + bit-equal
+        # trajectory on the headline clip.
+        rows_tot = ty + g.rows8
+        d_iota = lax.broadcasted_iota(jnp.int32, (ty, rows_tot), 0)
+        r_iota = lax.broadcasted_iota(jnp.int32, (ty, rows_tot), 1)
+        band = ((r_iota >= d_iota) & (r_iota < d_iota + th)).astype(
+            jnp.float32
+        )
+        slab_c = slab[:rows_tot, :tile_lanes]
+        bsum = dot_f32(band, slab_c)
+        bsq = dot_f32(band, slab_c * slab_c)
 
     acc_sum = dot_f32(bsum, box_ref[:, :])
     acc_ssq = dot_f32(bsq, box_ref[:, :])
@@ -394,6 +427,7 @@ def _mega_kernel(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
+        "box_band", "roll_u8",
     ),
 )
 def mega_track_chunk(
@@ -410,6 +444,8 @@ def mega_track_chunk(
     config: TrackerConfig,
     interpret: bool = False,
     highest: bool = True,
+    box_band: bool = False,
+    roll_u8: bool = False,
 ):
     """Run one chunk through the mega-kernel.
 
@@ -465,7 +501,8 @@ def mega_track_chunk(
     )
     box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
     kernel = functools.partial(
-        _mega_kernel, g=g, config=config, highest=highest
+        _mega_kernel, g=g, config=config, highest=highest,
+        box_band=box_band, roll_u8=roll_u8,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5  # u8 slab + one f32 copy

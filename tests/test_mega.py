@@ -153,6 +153,37 @@ def test_mega_fast_tier_and_prepad():
     np.testing.assert_array_equal(np.asarray(tpl_hi), np.asarray(tpl_pp))
 
 
+def test_mega_box_band_and_roll_u8_flags():
+    """Experimental kernel levers (tools/mega_box_ab.py): roll_u8 must be
+    bit-identical (the /255 scale commutes with the roll); box_band swaps
+    the vertical box-sum reduction order, so bboxes must match with only
+    ulp-level score drift."""
+    from pvot.ops.ncc_mega import mega_track_chunk
+
+    frames, state = _setup(SPEC)
+    args = (
+        jnp.asarray([int(state.bbox_x), int(state.bbox_y),
+                     int(state.bbox_w), int(state.bbox_h)], jnp.int32),
+        state.template, state.t_mean, state.t_std,
+        state.lost_count, state.use_global, jnp.int32(8),
+    )
+    kw = dict(frame_shape=(94, 250), templ_shape=(16, 16), config=CONFIG,
+              interpret=True)
+    base, _ = mega_track_chunk(jnp.asarray(frames[1:9]), *args, **kw)
+    ru, _ = mega_track_chunk(
+        jnp.asarray(frames[1:9]), *args, roll_u8=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(ru))
+    bb, _ = mega_track_chunk(
+        jnp.asarray(frames[1:9]), *args, box_band=True, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base[:, :4]), np.asarray(bb[:, :4])
+    )
+    drift = float(np.max(np.abs(np.asarray(base[:, 4]) - np.asarray(bb[:, 4]))))
+    assert drift < 1e-5, drift
+
+
 def test_track_video_backend_mega_routes():
     """pvot.track_video(backend=\"mega\") reaches the mega driver (here its
     geometry/probe fallback arm on CPU) and matches the scan path."""

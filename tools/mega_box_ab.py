@@ -1,0 +1,139 @@
+"""On-TPU A/B of two mega-kernel micro-levers on top of the round-3
+fast tier (3-pass bf16 hi/lo + host-pre-padded staging, 36.1 us/frame
+per tools/mega_fast_ab.py):
+
+  box_band — the VERTICAL box sums (bsum/bsq) as one banded MXU dot each
+             instead of 2 x 80 VPU adds of (128, 256) slices per frame.
+             Reduction order differs from the p-loop accumulation, so
+             scores may drift ~1 ulp; adoption requires a measured win
+             AND bit-equal trajectory vs the base kernel here.
+  roll_u8  — roll the uint8 slab BEFORE the f32 conversion (4x less roll
+             traffic; the /255 scale commutes with the roll, so records
+             must be bit-identical).
+
+Variants (one process, same pre-padded staging, cs=512 x 4 chunks, one
+packed fetch): base / +box_band / +roll_u8 / +both.
+
+Usage: nohup python tools/mega_box_ab.py > /tmp/mega_box.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(width=1280, height=720, templ=80, chunk=512, frames_total=2048):
+    from pvot.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.ops.ncc_mega import MegaGeometry, O_BX, O_POISON, mega_track_chunk
+    from pvot.tracker.mega import _state_from_chunk
+    from pvot.tracker.state import init_state
+
+    config = TrackerConfig()
+    g = MegaGeometry((height, width), (templ, templ), config)
+    spec = SyntheticSpec(width=width, height=height,
+                         num_frames=frames_total + 1,
+                         target_w=templ, target_h=templ, seed=1)
+    frames = generate_gray_video(spec)
+    x, y, w, h = target_bbox(spec, 0)
+    template = gray_u8_to_f32(frames[0])[y : y + h, x : x + w]
+    state0 = init_state(jnp.asarray(template), (x, y, w, h))
+    n_chunks = frames_total // chunk
+
+    padded = np.zeros((frames_total, g.pad_h, g.pad_w), np.uint8)
+    padded[:, :height, :width] = frames[1:]
+    chunks = [jax.device_put(padded[i * chunk : (i + 1) * chunk])
+              for i in range(n_chunks)]
+    del padded
+    jax.block_until_ready(chunks[-1])
+    print("staged pre-padded", flush=True)
+
+    state_extract = jax.jit(_state_from_chunk)
+    kw = dict(frame_shape=(height, width), templ_shape=(templ, templ),
+              config=config, highest=False)
+
+    def make_run(**flags):
+        def run(fetch=True):
+            st = state0
+            rows_all = []
+            for c in chunks:
+                rows, tplout = mega_track_chunk(
+                    c,
+                    jnp.stack([st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h]
+                              ).astype(jnp.int32),
+                    st.template, st.t_mean, st.t_std, st.lost_count,
+                    st.use_global, jnp.int32(chunk), **flags, **kw)
+                st = state_extract(rows, tplout)
+                rows_all.append(rows)
+            dev = jnp.concatenate(rows_all, axis=0)
+            if not fetch:
+                return dev
+            dev.copy_to_host_async()
+            return np.asarray(dev)
+        return run
+
+    runs = {
+        "fast_base": make_run(),
+        "fast_box_band": make_run(box_band=True),
+        "fast_roll_u8": make_run(roll_u8=True),
+        "fast_both": make_run(box_band=True, roll_u8=True),
+    }
+    live = {}
+    for name, run in runs.items():
+        try:
+            run(fetch=False)
+            live[name] = run
+            print(f"compiled {name}", flush=True)
+        except Exception as e:
+            print(json.dumps({name: {"error": f"{type(e).__name__}"}}),
+                  flush=True)
+
+    flip = jax.jit(lambda a: a @ a)(jnp.eye(128, dtype=jnp.float32))
+    flip.copy_to_host_async()
+    jax.block_until_ready(flip)
+    _ = np.asarray(flip)
+
+    results, trajs = {}, {}
+    for name, run in live.items():
+        best, rows = float("inf"), None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = run()
+            best = min(best, time.perf_counter() - t0)
+        bb = rows[:, O_BX : O_BX + 4].astype(np.int32)
+        errs = [abs(int(b[0]) - target_bbox(spec, i + 1)[0])
+                + abs(int(b[1]) - target_bbox(spec, i + 1)[1])
+                for i, b in enumerate(bb)]
+        trajs[name] = bb
+        results[name] = {
+            "fps": round(frames_total / best, 1),
+            "us_per_frame": round(best / frames_total * 1e6, 2),
+            "max_l1_err_px": int(max(errs)),
+            "poisoned": int((rows[:, O_POISON] != 0.0).sum()),
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+
+    for name in trajs:
+        if name != "fast_base" and "fast_base" in trajs:
+            results[f"traj_equal_{name}"] = bool(
+                (trajs["fast_base"] == trajs[name]).all()
+            )
+    print(json.dumps({"mega_box_ab": results}))
+
+
+if __name__ == "__main__":
+    main()
