@@ -60,6 +60,7 @@ _LABELS = {
     "mode_cuda_720p": "mode `--cuda`/naive (MXU matmul engine, HIGHEST)",
     "mode_fast_720p": "mode `--fast` (matmul engine, precision=HIGH)",
     "mode_shared_720p": "mode `--shared/--const/--const_tiled` (Pallas)",
+    "mega_720p": "720p mega-kernel (`--mega`, 512-frame suite run)",
 }
 
 
@@ -78,6 +79,15 @@ def _label(rec):
         engine = rec.get("backend")
         suffix = f", {engine} engine" if engine else ""
         return f"{m.group(1)} independent streams (serving{suffix})"
+    m = re.match(r"serving_e2e_(\d+)x_720p", cfg)
+    if m:
+        engine = rec.get("backend")
+        suffix = f", {engine} engine" if engine else ""
+        return (
+            f"{m.group(1)} live streams END-TO-END "
+            f"(`pvot.serve_streams`: decode+upload+track+fetch timed"
+            f"{suffix})"
+        )
     return cfg
 
 
@@ -140,6 +150,8 @@ def render(bench_files=None) -> str:
             )
         if "batch" in rec.get("config", "") and "batch_" in rec["config"]:
             notes.append("parity semantics (one update/batch)")
+        if "relay_note" in rec:
+            notes.append(rec["relay_note"])
         lines.append(
             f"| {_label(rec)} | {_fmt_fps(rec['value'])} | "
             f"{rec['vs_baseline']}x | {'; '.join(notes)} |"

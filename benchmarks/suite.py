@@ -608,6 +608,110 @@ def bench_stream_sweep(sizes=(8, 16, 32, 64), backend="fast"):
     return out
 
 
+def bench_serving_e2e(num_streams=16, width=1280, height=720, templ=80,
+                      num_frames=256, chunk_size=32, highest=False,
+                      pipeline_depth=2, prepad=False):
+    """END-TO-END serving on pvot.serve_streams: per-stream decode feeds,
+    host pre-padded staging, chunk upload, the multi-stream mega kernel,
+    and per-chunk record fetches are ALL inside the timed region (every
+    other serving row stages its frames on device untimed, bench.py
+    protocol).  On the test relay the host->device link is a tunnel with
+    ~30-80 ms fixed round-trip latency, so this row is largely
+    transfer/latency-bound THERE — it validates the live serving path end
+    to end and lower-bounds it; production-PCIe numbers sit between this
+    row and the staged 7m* rows.  pipeline_depth=2 keeps one chunk of
+    compute in flight behind each record fetch (pvot.io.serving)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.serving import serve_streams
+    from pvot.io.synthetic import (
+        SyntheticSpec,
+        generate_gray_frames,
+        target_bbox,
+    )
+    from pvot.ops.ncc_mega import MegaGeometry
+    from pvot.tracker.state import init_state
+
+    config = TrackerConfig()
+    geom = MegaGeometry((height, width), (templ, templ), config)
+    if not geom.supported():
+        return {
+            "config": f"serving_e2e_{num_streams}x_720p",
+            "skipped": "geometry outside the mega envelope",
+        }
+    # Trackable sinusoid (same rationale as bench_multi_stream_mega): a
+    # long spec sliced so per-frame motion stays inside the search radius.
+    spec = SyntheticSpec(
+        width=width, height=height,
+        num_frames=max(257, num_frames + 1),
+        target_w=templ, target_h=templ, seed=1,
+    )
+    base = np.stack(list(itertools.islice(
+        generate_gray_frames(spec), num_frames + 1
+    )))
+    x, y, w, h = target_bbox(spec, 0)
+    templ_img = gray_u8_to_f32(base[0])[y : y + h, x : x + w]
+    one = init_state(jnp.asarray(templ_img), (x, y, w, h))
+
+    def fresh_states():
+        return jax.tree.map(lambda a: jnp.stack([a] * num_streams), one)
+
+    # Warmup: compiles the multi kernel + state extract at the served
+    # shapes, runs the per-geometry probe, and (first record fetch) flips
+    # the relay into synchronous honest-timing mode.
+    warm = [iter(base[1 : 1 + 2 * chunk_size]) for _ in range(num_streams)]
+    serve_streams(
+        warm, fresh_states(), (height, width), config,
+        chunk_size=chunk_size, highest=highest,
+        pipeline_depth=pipeline_depth, prepad=prepad,
+    )
+
+    timings: list = []
+    feeds = [iter(base[1 : 1 + num_frames]) for _ in range(num_streams)]
+    t0 = time.perf_counter()
+    _, outs = serve_streams(
+        feeds, fresh_states(), (height, width), config,
+        chunk_size=chunk_size, timings=timings, highest=highest,
+        pipeline_depth=pipeline_depth, prepad=prepad,
+    )
+    elapsed = time.perf_counter() - t0
+    errs = [
+        abs(int(outs[s].bbox[i, 0]) - target_bbox(spec, i + 1)[0])
+        + abs(int(outs[s].bbox[i, 1]) - target_bbox(spec, i + 1)[1])
+        for s in range(num_streams)
+        for i in range(num_frames)
+    ]
+    total = num_streams * num_frames
+    return {
+        "config": f"serving_e2e_{num_streams}x_720p",
+        "backend": "mega" if highest else "mega_fast",
+        "value": round(num_frames / elapsed, 2),
+        "unit": "frames/s per stream (end-to-end: decode+upload+track+fetch)",
+        "vs_baseline": round(num_frames / elapsed / REFERENCE_FPS, 2),
+        "aggregate_fps": round(total / elapsed, 1),
+        "pipeline_depth": pipeline_depth,
+        "staging": "host_prepadded" if prepad else "wire_size",
+        "upload_mb_s": round(
+            total
+            * (geom.pad_h * geom.pad_w if prepad else height * width)
+            / 1e6 / elapsed,
+            1,
+        ),
+        "frames": num_frames,
+        "elapsed_s": round(elapsed, 4),
+        "max_l1_err_px": int(max(errs)),
+        "relay_note": "host->device link is the test tunnel (~10 MB/s "
+                      "measured); this row validates the live path and "
+                      "measures the TUNNEL, not the tracker — see the "
+                      "staged 7m* rows for device throughput",
+    }
+
+
 CONFIGS = {
     "1": lambda frames: bench_tracking(
         "cpu_parity_720p", width=1280, height=720, backend="cpu",
@@ -673,6 +777,10 @@ CONFIGS = {
     # hi/lo score dot; trajectory-checked against ground truth like every
     # mega serving row).
     "7mf": lambda frames: bench_stream_sweep(sizes=(32,), backend="mega_fast"),
+    # END-TO-END live serving (pvot.serve_streams): decode feeds + staging
+    # + upload + mega kernel + record fetch all timed; relay-tunnel lower
+    # bound (see bench_serving_e2e docstring).
+    "7me": lambda frames: bench_serving_e2e(),
     # Streams x batch combined (C10 parity semantics: one update / N frames).
     "8": lambda frames: bench_multi_stream(
         32, num_frames=128, chunk_size=16, frames_per_step=4

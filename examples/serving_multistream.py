@@ -56,4 +56,32 @@ for s, spec in enumerate(specs):
 print(f"streams={S} frames/stream={out.bbox.shape[0]} "
       f"max_err_px per stream={errs.tolist()}")
 assert (errs <= 2).all()
+
+# --- Live serving: frame ITERATORS instead of pre-decoded arrays ------------
+# pvot.serve_streams runs one background decode/gray thread per stream
+# (pvot.io.pipeline.FramePipeline) concurrently with the device, stages
+# lockstep pre-padded chunks, and commits per-stream transactional results.
+# Streams may end at different times; each stream's StepOutput has its own
+# length.  Here stream s stops after 40 + 10*s frames.
+lengths = [40 + 10 * s for s in range(S)]
+feeds = [iter(videos[s, 1 : 1 + lengths[s]]) for s in range(S)]
+states2 = []
+for s, spec in enumerate(specs):
+    x, y, w, h = target_bbox(spec, 0)
+    templ = jnp.asarray(gray_u8_to_f32(videos[s, 0])[y : y + h, x : x + w])
+    states2.append(pvot.init_state(templ, (x, y, w, h)))
+states2 = jax.tree.map(lambda *xs: jnp.stack(xs), *states2)
+
+timings: list = []
+final2, outs = pvot.serve_streams(
+    feeds, states2, (480, 640), chunk_size=16, timings=timings
+)
+for s, spec in enumerate(specs):
+    assert outs[s].bbox.shape[0] == lengths[s]
+    want = np.array([target_bbox(spec, i + 1)[:2] for i in range(lengths[s])])
+    assert np.abs(outs[s].bbox[:, :2] - want).max() <= 2
+total = sum(n for n, _ in timings)
+secs = sum(t for _, t in timings)
+print(f"live serving: {total} frames across {S} streams in {secs:.2f}s "
+      f"({total / secs:.0f} aggregate FPS incl. decode)")
 print("serving example OK")

@@ -45,4 +45,8 @@ def __getattr__(name):  # lazy heavyweight entry points
         from pvot.tracker.mega import track_streams_mega
 
         return track_streams_mega
+    if name == "serve_streams":
+        from pvot.io.serving import serve_streams
+
+        return serve_streams
     raise AttributeError(f"module 'pvot' has no attribute {name!r}")

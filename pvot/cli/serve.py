@@ -1,0 +1,274 @@
+"""pvot-serve: track S video streams concurrently on one chip.
+
+The reference serves exactly one stream per process — its tracking loop
+owns the single cv::VideoCapture (tracker_ghc/src/main.cpp:83,337-480) —
+so S cameras there cost S processes x S GPUs.  This front end drives
+pvot.io.serving.serve_streams: one decode thread per stream, every chunk
+of every stream in ONE pallas_call (the multi-stream mega kernel), with
+per-stream transactional global-search rollback and automatic fallback to
+the lockstep scan engines outside the mega envelope.
+
+Headless by design (serving has no interactive window): ROIs come from
+--roi — one shared by all streams or one per stream.  All streams must
+share the frame size, and all ROIs one (W, H): the serving layout stacks
+templates along a leading stream axis (pvot.parallel.multi.init_multi_state).
+
+Examples:
+  pvot-serve cam0.mp4 cam1.mp4 cam2.mp4 --roi 600,320,80,80
+  pvot-serve --synthetic 1280x720x300 --streams 8 --fast
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from pvot.config import TrackerConfig
+
+
+def parse_args(argv: List[str]):
+    p = argparse.ArgumentParser(
+        prog="pvot-serve",
+        description="Serve S video streams on one chip "
+                    "(multi-stream mega kernel)",
+    )
+    p.add_argument("videos", nargs="*", help="one video path per stream")
+    p.add_argument(
+        "--synthetic", metavar="WxHxF", default=None,
+        help="synthetic streams (distinct trajectories) instead of files",
+    )
+    p.add_argument(
+        "--streams", type=int, default=4,
+        help="stream count with --synthetic (files set it by count)",
+    )
+    p.add_argument(
+        "--roi", action="append", default=None, metavar="X,Y,W,H",
+        help="template box; give once (shared) or once per stream. "
+             "Defaults to each synthetic stream's known target",
+    )
+    p.add_argument("--chunk-size", type=int, default=32)
+    p.add_argument(
+        "--pipeline-depth", type=int, default=2,
+        help="chunks in flight before each poison check (1 = synchronous)",
+    )
+    p.add_argument(
+        "--fast", action="store_true",
+        help="mega fast tier (3-pass bf16 hi/lo score dot; trajectory "
+             "identity is a measured per-clip property like every fast "
+             "engine)",
+    )
+    p.add_argument(
+        "--scan-backend", default="pallas_shear",
+        help="engine for global-search rollbacks and the non-mega fallback",
+    )
+    p.add_argument(
+        "--no-prepad", action="store_true",
+        help="ship wire-size frames and pad on device (less host->device "
+             "bandwidth; default pre-pads on the host, which is faster "
+             "on-device — see pvot.serve_streams)",
+    )
+    p.add_argument("--search-radius", type=int, default=None)
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument(
+        "--trajectory-out", default=None, metavar="PREFIX",
+        help="write per-stream JSON-lines trajectories to PREFIX.s<K>.jsonl",
+    )
+    args = p.parse_args(argv)
+    if not args.videos and not args.synthetic:
+        p.error("give video paths or --synthetic WxHxF")
+    if args.videos and args.synthetic:
+        p.error("--synthetic and video paths are mutually exclusive")
+    return args
+
+
+def _parse_roi(text: str):
+    try:
+        x, y, w, h = (int(v) for v in text.split(","))
+    except ValueError:
+        raise SystemExit(f"Invalid --roi {text!r}: expected X,Y,W,H")
+    if w <= 0 or h <= 0:
+        raise SystemExit(f"Invalid --roi {text!r}: W and H must be positive")
+    return x, y, w, h
+
+
+def _limit(it, n: int):
+    if n <= 0:
+        yield from it
+        return
+    for i, frame in enumerate(it):
+        if i >= n:
+            return
+        yield frame
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = parse_args(list(sys.argv[1:] if argv is None else argv))
+    from pvot.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from pvot.io.gray import bgr_to_gray_u8, gray_u8_to_f32
+    from pvot.io.serving import serve_streams
+    from pvot.parallel.multi import init_multi_state
+
+    # --- Per-stream first frames + remaining-frame iterators ---------------
+    closers = []
+    if args.synthetic:
+        from pvot.io.synthetic import (
+            SyntheticSpec,
+            generate_gray_frames,
+            target_bbox,
+        )
+
+        try:
+            w, h, f = (int(v) for v in args.synthetic.lower().split("x"))
+        except ValueError:
+            print(
+                f"Invalid --synthetic {args.synthetic!r}: expected WxHxF",
+                file=sys.stderr,
+            )
+            return 2
+        specs = [
+            SyntheticSpec(width=w, height=h, num_frames=f, seed=1 + s)
+            for s in range(args.streams)
+        ]
+        firsts, feeds, default_rois = [], [], []
+        for spec in specs:
+            gen = generate_gray_frames(spec)
+            firsts.append(next(gen))
+            feeds.append(_limit(gen, args.max_frames))
+            default_rois.append(target_bbox(spec, 0))
+        frame_shape = (h, w)
+    else:
+        from pvot.io.video import VideoReader
+
+        readers = [VideoReader(path) for path in args.videos]
+        closers = readers
+        sizes = {r.size for r in readers}
+        if len(sizes) != 1:
+            print(
+                f"All streams must share one frame size; got {sizes}",
+                file=sys.stderr,
+            )
+            return 2
+        width, height = readers[0].size
+        frame_shape = (height, width)
+        firsts, feeds, default_rois = [], [], []
+        for r in readers:
+            first = r.read()
+            if first is None:
+                print(f"Empty video: {r.path}", file=sys.stderr)
+                return 2
+            firsts.append(bgr_to_gray_u8(first))
+            feeds.append(_limit(iter(r), args.max_frames))
+            default_rois.append(None)
+
+    n_streams = len(feeds)
+
+    # --- ROIs: one shared, one per stream, or synthetic defaults -----------
+    if args.roi:
+        rois = [_parse_roi(t) for t in args.roi]
+        if len(rois) == 1:
+            rois = rois * n_streams
+        elif len(rois) != n_streams:
+            print(
+                f"Got {len(rois)} --roi for {n_streams} streams "
+                "(give one, or one per stream)",
+                file=sys.stderr,
+            )
+            return 2
+    elif all(r is not None for r in default_rois):
+        rois = default_rois
+    else:
+        print("File streams need --roi (serving is headless)", file=sys.stderr)
+        return 2
+    if len({(rw, rh) for _, _, rw, rh in rois}) != 1:
+        print(
+            "All ROIs must share one W,H (stacked-template serving layout); "
+            f"got {sorted({(rw, rh) for _, _, rw, rh in rois})}",
+            file=sys.stderr,
+        )
+        return 2
+
+    fh, fw = frame_shape
+    for s, (x, y, rw, rh) in enumerate(rois):
+        if x < 0 or y < 0 or x + rw > fw or y + rh > fh:
+            print(
+                f"--roi {x},{y},{rw},{rh} (stream {s}) lies outside the "
+                f"{fw}x{fh} frame",
+                file=sys.stderr,
+            )
+            return 2
+    templates = [
+        jnp.asarray(gray_u8_to_f32(first)[y : y + rh, x : x + rw])
+        for first, (x, y, rw, rh) in zip(firsts, rois)
+    ]
+    states = init_multi_state(templates, rois)
+    config = TrackerConfig(
+        **(
+            {"search_radius_x": args.search_radius,
+             "search_radius_y": args.search_radius}
+            if args.search_radius is not None else {}
+        )
+    ).validate()
+
+    print(f"Serving {n_streams} streams at {frame_shape[1]}x{frame_shape[0]}, "
+          f"template {rois[0][2]}x{rois[0][3]}, chunk {args.chunk_size}, "
+          f"tier {'fast' if args.fast else 'highest'}")
+    timings: list = []
+    t0 = time.perf_counter()
+    final, outs = serve_streams(
+        feeds, states, frame_shape, config,
+        scan_backend=args.scan_backend,
+        chunk_size=args.chunk_size, timings=timings,
+        highest=not args.fast, pipeline_depth=args.pipeline_depth,
+        prepad=not args.no_prepad,
+    )
+    elapsed = time.perf_counter() - t0
+    for c in closers:
+        c.close()
+
+    total = 0
+    for s, out in enumerate(outs):
+        n = out.bbox.shape[0]
+        total += n
+        score = float(np.mean(out.score)) if n else float("nan")
+        print(
+            f"stream {s}: frames={n}, updated={int(out.updated.sum())}, "
+            f"global={int(out.used_global.sum())}, mean_score={score:.4f}, "
+            f"final_bbox={out.bbox[-1].tolist() if n else None}"
+        )
+    fps = total / elapsed if elapsed > 0 else 0.0
+    # Aggregate summary in the reference's summary spelling (main.cpp:485-488)
+    # extended with the stream count.
+    print(
+        f"Serving summary: streams={n_streams}, frames={total}, "
+        f"time={elapsed:.6g} s, aggregate FPS={fps:.6g}"
+    )
+
+    if args.trajectory_out:
+        import json
+
+        for s, out in enumerate(outs):
+            path = f"{args.trajectory_out}.s{s}.jsonl"
+            with open(path, "w") as f:
+                for i in range(out.bbox.shape[0]):
+                    f.write(json.dumps({
+                        "stream": s,
+                        "frame": 1 + i,
+                        "bbox": np.asarray(out.bbox[i]).tolist(),
+                        "score": round(float(out.score[i]), 6),
+                        "used_global": bool(out.used_global[i]),
+                        "updated": bool(out.updated[i]),
+                    }) + "\n")
+        print(f"Trajectories written: {args.trajectory_out}.s*.jsonl")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

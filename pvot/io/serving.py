@@ -1,0 +1,502 @@
+"""End-to-end multi-stream serving: S live video streams on one chip.
+
+The reference serves exactly one stream per process (its tracking loop owns
+the single capture handle, tracker_ghc/src/main.cpp:337-480); serving S
+cameras there means S processes × S GPUs.  Here one chip serves all S:
+
+  decode      — one background decode/gray thread per stream
+                (pvot.io.pipeline.FramePipeline: native C++ ring +
+                bgr_to_gray_u8), all running concurrently with the device
+  stage       — lockstep (S, C, H, W) uint8 chunks assembled into a
+                pre-padded host buffer (the mega kernel's slab-aligned
+                (pad_h, pad_w) layout, so the device never pays the pad —
+                tools/mega_dispatch_ab.py attribution)
+  compute     — every chunk of every stream is ONE pallas_call
+                (pvot.ops.ncc_mega.mega_track_chunk_multi, grid (S, F)):
+                each stream tracks at the single-stream mega rate, ~19-24k
+                aggregate 720p FPS HIGHEST / ~30k fast tier on one v5e
+                (docs/PERFORMANCE.md "Saturation point")
+  commit      — per-stream transactional poison handling: a stream whose
+                state machine enters a global-search branch re-runs just
+                that chunk on the scan engines from its chunk-start
+                snapshot (exact reference semantics on every frame);
+                other streams' records commit untouched
+
+Streams may end at different times: an ended stream's lanes carry
+n_valid=0 padding (the kernel freezes its state; the scan fallback masks
+per stream via pvot.parallel.multi.make_stream_masked_scan_fn) until every
+stream is drained.  Outside the mega envelope — or if the per-geometry
+compile+numerics probe fails — serving falls back to the lockstep vmapped
+scan engines with the same output contract.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pvot.io.pipeline import FramePipeline
+
+
+class _StreamFeed:
+    """One stream's decode pipeline + lockstep chunk cursor.
+
+    next_chunk() always returns a full (chunk_size, H, W) uint8 array; once
+    the stream is exhausted it keeps returning (held last frame, n_real=0)
+    so the lockstep loop can carry live streams to their own ends."""
+
+    def __init__(self, frame_iter: Iterable[np.ndarray], frame_shape, chunk_size: int):
+        self.pipe = FramePipeline(frame_iter, frame_shape, chunk_size=chunk_size)
+        self._gen = self.pipe.chunks()
+        self._shape = tuple(frame_shape)
+        self._cs = chunk_size
+        self._last: Optional[np.ndarray] = None
+        self.done = False
+
+    def next_chunk(self) -> Tuple[np.ndarray, int]:
+        if not self.done:
+            try:
+                chunk, n = next(self._gen)
+                self._last = np.array(chunk[n - 1]) if n else self._last
+                return chunk, n
+            except StopIteration:
+                self.done = True
+        base = (
+            self._last
+            if self._last is not None
+            else np.zeros(self._shape, np.uint8)
+        )
+        return np.broadcast_to(base, (self._cs, *self._shape)), 0
+
+    def close(self) -> None:
+        self.pipe.close()
+
+
+def serve_streams(
+    frame_iters: Sequence[Iterable[np.ndarray]],
+    states,
+    frame_shape: Tuple[int, int],
+    config=None,
+    backend: str = "mega",
+    scan_backend: str = "pallas_shear",
+    chunk_size: int = 32,
+    timings: Optional[list] = None,
+    highest: bool = True,
+    pipeline_depth: int = 2,
+    devices: Optional[Sequence] = None,
+    prepad: bool = True,
+    interpret: bool = False,
+    _probe: bool = False,
+):
+    """Serve S live frame streams end to end with decode/compute overlap.
+
+    frame_iters: S iterables yielding uint8 BGR (H, W, 3) or gray (H, W)
+    frames (different lengths allowed).  states: a stacked TrackerState
+    with leading S axis (pvot.parallel.multi.init_multi_state layout).
+
+    Returns (final stacked TrackerState, list of S host StepOutputs — one
+    per stream, each with that stream's own frame count).  timings, when
+    given a list, receives one (frames_committed, seconds) pair per
+    lockstep chunk.
+
+    backend="mega" routes every chunk through the multi-stream mega kernel
+    (see module docstring); any other value — or an envelope/probe failure —
+    serves on the lockstep vmapped scan engines (make_multi_stream_step +
+    make_stream_masked_scan_fn), where `backend` names the NCC engine.
+
+    highest=False runs the mega kernel's fast tier (3-pass bf16 hi/lo);
+    same trajectory-identity caveat as every fast engine.
+
+    pipeline_depth (mega path) is how many chunks may be in flight before
+    the oldest one's records are fetched and poison-checked.  Depth 2
+    overlaps each chunk's device->host record fetch (a fixed relay/PCIe
+    round trip) with the next chunk's compute; poison commits are then
+    discovered one chunk late, which is safe because streams are
+    independent — an in-flight chunk's records stay valid for every
+    non-poisoned stream, and poisoned lanes re-run host-side from their
+    chunk-start snapshots.  Depth 1 is the strict synchronous mode.
+
+    devices: a sequence of jax.Devices to spread the streams over — pure
+    host-driven data parallelism (streams are independent, so no
+    collectives are needed: each device serves its contiguous stream group
+    through its own pipelined loop in its own host thread, and dispatches
+    interleave across devices).  The per-group drivers are exactly the
+    single-device paths, so semantics are unchanged; `timings` then holds
+    each group's per-chunk pairs concatenated group by group.  None
+    (default) serves everything on the default device.
+
+    prepad (mega path) trades host->device wire bytes against on-device
+    pad copies: True stages chunks host-pre-padded to the kernel's
+    aligned extents (no in-jit pad; ~6-8 us/frame cheaper on-device,
+    tools/mega_fast_ab.py — the bench.py headline default), at ~18% more
+    upload bytes; False ships wire-size frames and pays the in-jit pad.
+    Pick False when the host->device link is the binder (e.g. serving at
+    rates near the PCIe roofline, or the relay tunnel this repo tests
+    over — bit-identical either way, records and trajectories alike).
+    """
+    if devices is not None and len(devices) > 1:
+        return _serve_streams_multidevice(
+            frame_iters, states, frame_shape, config, backend, scan_backend,
+            chunk_size, timings, highest, pipeline_depth, list(devices),
+            prepad, interpret, _probe,
+        )
+    device = devices[0] if devices else None
+    from pvot.config import TrackerConfig
+
+    config = config or TrackerConfig()
+    h, w = frame_shape
+    th, tw = states.template.shape[-2:]
+    n_streams = int(np.shape(states.t_mean)[0])
+    if len(frame_iters) != n_streams:
+        raise ValueError(
+            f"{len(frame_iters)} frame iterators for {n_streams} states"
+        )
+
+    if backend == "mega":
+        from pvot.ops.ncc_mega import MegaGeometry
+        from pvot.tracker.mega import mega_multi_supported
+
+        g = MegaGeometry((h, w), (th, tw), config)
+        if g.supported() and (
+            _probe
+            or mega_multi_supported((h, w), (th, tw), config, interpret=interpret)
+        ):
+            return _serve_streams_mega(
+                frame_iters, states, frame_shape, config, chunk_size,
+                timings, scan_backend, highest, interpret,
+                max(1, pipeline_depth), device, prepad,
+            )
+        backend = scan_backend
+
+    return _serve_streams_scan(
+        frame_iters, states, frame_shape, config, backend, chunk_size,
+        timings, device,
+    )
+
+
+def _serve_streams_multidevice(
+    frame_iters,
+    states,
+    frame_shape,
+    config,
+    backend: str,
+    scan_backend: str,
+    chunk_size: int,
+    timings: Optional[list],
+    highest: bool,
+    pipeline_depth: int,
+    devices: list,
+    prepad: bool,
+    interpret: bool,
+    _probe: bool,
+):
+    """Fan the streams out over devices: contiguous groups, one pipelined
+    single-device driver per group in its own host thread.  Streams are
+    independent so no collectives are involved; dispatches interleave
+    across devices while every group keeps the single-device semantics
+    (including per-group transactional rollback)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    from pvot.config import TrackerConfig
+    from pvot.tracker.mega import mega_multi_supported
+    from pvot.ops.ncc_mega import MegaGeometry
+
+    config = config or TrackerConfig()
+    h, w = frame_shape
+    th, tw = states.template.shape[-2:]
+    n_streams = len(frame_iters)
+    if int(np.shape(states.t_mean)[0]) != n_streams:
+        raise ValueError(
+            f"{n_streams} frame iterators for "
+            f"{int(np.shape(states.t_mean)[0])} states"
+        )
+    use_mega = backend == "mega" and MegaGeometry(
+        (h, w), (th, tw), config
+    ).supported() and (
+        _probe
+        or mega_multi_supported((h, w), (th, tw), config, interpret=interpret)
+    )
+
+    # Contiguous groups, sizes within one of each other; empty groups drop.
+    n_dev = min(len(devices), n_streams)
+    bounds = [round(g * n_streams / n_dev) for g in range(n_dev + 1)]
+    groups = [
+        (bounds[g], bounds[g + 1], devices[g])
+        for g in range(n_dev)
+        if bounds[g + 1] > bounds[g]
+    ]
+
+    def run_group(lo, hi, device):
+        group_states = jax.tree.map(lambda a: a[lo:hi], states)
+        group_timings: Optional[list] = [] if timings is not None else None
+        if use_mega:
+            final, outs = _serve_streams_mega(
+                frame_iters[lo:hi], group_states, frame_shape, config,
+                chunk_size, group_timings, scan_backend, highest, interpret,
+                max(1, pipeline_depth), device, prepad,
+            )
+        else:
+            final, outs = _serve_streams_scan(
+                frame_iters[lo:hi], group_states, frame_shape, config,
+                scan_backend if backend == "mega" else backend,
+                chunk_size, group_timings, device,
+            )
+        # Decommit so cross-device finals can restack on the default device.
+        return jax.tree.map(np.asarray, final), outs, group_timings
+
+    with ThreadPoolExecutor(max_workers=len(groups)) as pool:
+        futures = [pool.submit(run_group, lo, hi, d) for lo, hi, d in groups]
+        results = [f.result() for f in futures]
+
+    import jax.numpy as jnp
+
+    finals = [r[0] for r in results]
+    final = jax.tree.map(
+        lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs]), *finals
+    )
+    outs = [o for _, group_outs, _ in results for o in group_outs]
+    if timings is not None:
+        for _, _, gt in results:
+            timings.extend(gt or [])
+    return final, outs
+
+
+def _serve_streams_mega(
+    frame_iters,
+    states,
+    frame_shape,
+    config,
+    chunk_size: int,
+    timings: Optional[list],
+    scan_backend: str,
+    highest: bool,
+    interpret: bool,
+    depth: int,
+    device=None,
+    prepad: bool = True,
+):
+    from collections import deque
+
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.ops.ncc_mega import (
+        MegaGeometry,
+        O_POISON,
+        mega_track_chunk_multi,
+    )
+    from pvot.tracker.mega import _rows_to_output, _state_from_chunk
+    from pvot.tracker.scan import _stack_outputs, track_video
+
+    h, w = frame_shape
+    th, tw = states.template.shape[-2:]
+    n_streams = len(frame_iters)
+    g = MegaGeometry((h, w), (th, tw), config)
+    extract = jax.jit(jax.vmap(_state_from_chunk))
+
+    feeds = [_StreamFeed(it, frame_shape, chunk_size) for it in frame_iters]
+    # Staging buffers (see serve_streams's `prepad` doc for the
+    # prepadded-vs-wire-size tradeoff).  One buffer per possible in-flight
+    # chunk plus the one being filled; a buffer is recycled only after its
+    # entry's blocking record fetch, which forces its input transfer to
+    # completion first.
+    stage_shape = (g.pad_h, g.pad_w) if prepad else (h, w)
+    free_bufs = [
+        np.zeros((n_streams, chunk_size, *stage_shape), np.uint8)
+        for _ in range(depth + 1)
+    ]
+    inflight: deque = deque()
+    outs: List[list] = [[] for _ in range(n_streams)]
+    st = jax.device_put(states, device) if device is not None else states
+    mark = time.perf_counter()
+
+    def dispatch(chunks, n_real, st):
+        buf = free_bufs.pop()
+        for s, (chunk, _) in enumerate(chunks):
+            buf[s, :, :h, :w] = chunk
+        rows, tplout = mega_track_chunk_multi(
+            jax.device_put(buf, device),
+            jnp.stack(
+                [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
+            ).astype(jnp.int32),
+            st.template, st.t_mean, st.t_std,
+            st.lost_count, st.use_global,
+            jnp.asarray(n_real),
+            frame_shape=(h, w), templ_shape=(th, tw), config=config,
+            interpret=interpret, highest=highest,
+        )
+        st_after = extract(rows, tplout)
+        rows.copy_to_host_async()
+        return {
+            # Retained per-stream frame arrays: a poisoned lane re-runs
+            # from these on the scan path.
+            "chunks": [c for c, _ in chunks],
+            "n_real": n_real,
+            "snapshot": st,
+            "st_after": st_after,
+            "rows": rows,
+            "buf": buf,
+        }
+
+    def drain(entry, fixed):
+        """Fetch one entry's records; commit clean lanes, re-run poisoned
+        or already-being-fixed lanes host-side.  `fixed` maps stream ->
+        corrected TrackerState (carried across the in-flight window when a
+        poison is discovered late); returns it updated."""
+        nonlocal mark
+        host = np.asarray(entry["rows"])  # blocks: kernel + record fetch
+        free_bufs.append(entry["buf"])
+        committed = 0
+        for s in range(n_streams):
+            n = int(entry["n_real"][s])
+            if n == 0:
+                continue
+            committed += n
+            rs = host[s, :n]
+            if s in fixed:
+                start = fixed[s]
+            elif (rs[:, O_POISON] != 0.0).any():
+                # First poison for this lane: its chunk-start snapshot is
+                # still valid (the lane was clean through the previous
+                # chunk).  Decommitted to host so the rollback's scan path
+                # (default device) and apply_fixed (this group's device)
+                # both colocate with it.
+                start = jax.tree.map(
+                    lambda a, _s=s: np.asarray(a[_s]), entry["snapshot"]
+                )
+            else:
+                outs[s].append(_rows_to_output(rs))
+                continue
+            fs, out = track_video(
+                np.asarray(entry["chunks"][s][:n]), start, config,
+                strategy="fused", backend=scan_backend,
+                chunk_size=chunk_size,
+            )
+            outs[s].append(out)
+            # Kept host-side: consumed both as the next rollback's start
+            # and by apply_fixed on the (possibly non-default) group device.
+            fixed[s] = jax.tree.map(np.asarray, fs)
+        now = time.perf_counter()
+        if timings is not None:
+            timings.append((committed, now - mark))
+        mark = now
+        return fixed
+
+    def apply_fixed(st, fixed):
+        for s, fs in fixed.items():
+            st = jax.tree.map(lambda a, b, _s=s: a.at[_s].set(b), st, fs)
+        return st
+
+    try:
+        while True:
+            chunks = [f.next_chunk() for f in feeds]
+            n_real = np.array([n for _, n in chunks], np.int32)
+            if not n_real.any():
+                break
+            entry = dispatch(chunks, n_real, st)
+            st = entry["st_after"]
+            inflight.append(entry)
+            if len(inflight) >= depth:
+                fixed = drain(inflight.popleft(), {})
+                if fixed:
+                    # A lane poisoned: flush the window.  Every other
+                    # lane's in-flight records are still valid (streams
+                    # are independent); the fixed lanes re-run chunk by
+                    # chunk inside drain, then the corrected states
+                    # replace the stale lanes before the next dispatch.
+                    while inflight:
+                        fixed = drain(inflight.popleft(), fixed)
+                    st = apply_fixed(st, fixed)
+        fixed = {}
+        while inflight:
+            fixed = drain(inflight.popleft(), fixed)
+        st = apply_fixed(st, fixed)
+    finally:
+        for f in feeds:
+            f.close()
+    return st, [_stack_outputs(o) for o in outs]
+
+
+def _serve_streams_scan(
+    frame_iters,
+    states,
+    frame_shape,
+    config,
+    backend: str,
+    chunk_size: int,
+    timings: Optional[list],
+    device=None,
+):
+    import jax
+
+    from pvot.parallel.multi import (
+        make_multi_stream_step,
+        make_stream_masked_scan_fn,
+    )
+    from pvot.tracker.scan import _pack_outputs, _stack_outputs
+    from pvot.tracker.state import StepOutput
+
+    h, w = frame_shape
+    th, tw = states.template.shape[-2:]
+    n_streams = len(frame_iters)
+    step = make_multi_stream_step(
+        (h, w), (th, tw), config, strategy="fused", backend=backend
+    )
+    scan_fn = make_stream_masked_scan_fn(step)
+
+    feeds = [_StreamFeed(it, frame_shape, chunk_size) for it in frame_iters]
+    outs: List[list] = [[] for _ in range(n_streams)]
+    st = jax.device_put(states, device) if device is not None else states
+    pending = None  # (device packed outs, n_real) — one-chunk fetch overlap
+    mark = time.perf_counter()
+
+    def drain(entry):
+        nonlocal mark
+        packed, n_real = entry
+        host = np.asarray(packed)  # (C, S, 7)
+        for s in range(n_streams):
+            n = int(n_real[s])
+            if n == 0:
+                continue
+            rows = host[:n, s]
+            outs[s].append(
+                StepOutput(
+                    bbox=rows[:, 0:4].astype(np.int32),
+                    score=rows[:, 4].copy(),
+                    used_global=rows[:, 5] != 0.0,
+                    updated=rows[:, 6] != 0.0,
+                )
+            )
+        now = time.perf_counter()
+        if timings is not None:
+            timings.append((int(n_real.sum()), now - mark))
+        mark = now
+
+    try:
+        while True:
+            chunks = [f.next_chunk() for f in feeds]
+            n_real = np.array([n for _, n in chunks], np.int32)
+            if not n_real.any():
+                break
+            frames = np.stack([c for c, _ in chunks], axis=1)  # (C, S, H, W)
+            valid = np.arange(chunk_size)[:, None] < n_real[None, :]
+            st, out = scan_fn(
+                st,
+                jax.device_put(frames, device),
+                jax.device_put(valid, device),
+            )
+            packed = _pack_outputs(out)
+            packed.copy_to_host_async()
+            if pending is not None:
+                drain(pending)
+            pending = (packed, n_real)
+        if pending is not None:
+            drain(pending)
+    finally:
+        for f in feeds:
+            f.close()
+    return st, [_stack_outputs(o) for o in outs]

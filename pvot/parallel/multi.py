@@ -183,6 +183,32 @@ def make_multi_stream_step(
     )
 
 
+def make_stream_masked_scan_fn(multi_step):
+    """Masked lockstep scan over S streams with PER-STREAM validity.
+
+    Like pvot.tracker.scan.make_masked_scan_fn, but `valid` is (C, S) — one
+    flag per frame per stream — so live serving can keep a lockstep chunk
+    shape while individual streams end at different times: an ended stream's
+    padding frames leave ITS state untouched while the others advance.
+    (state, frames (C, S, H, W), valid (C, S)) -> (state, outs)."""
+    from jax import lax
+
+    def masked_step(states: TrackerState, xs):
+        frames, valid = xs  # (S, H, W), (S,)
+        new_states, out = multi_step(states, frames)
+
+        def keep(new, old):
+            v = valid.reshape(valid.shape + (1,) * (new.ndim - 1))
+            return jnp.where(v, new, old)
+
+        return jax.tree.map(keep, new_states, states), out
+
+    def scan_chunk(states: TrackerState, frames: jax.Array, valid: jax.Array):
+        return lax.scan(masked_step, states, (frames, valid))
+
+    return jax.jit(scan_chunk)
+
+
 def track_video_multi(
     frames: np.ndarray,
     states: TrackerState,

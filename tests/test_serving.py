@@ -1,0 +1,292 @@
+"""End-to-end multi-stream serving tests (pvot.io.serving.serve_streams):
+lockstep feeds over unequal-length streams, the mega path in interpret
+mode (including per-stream poison transactions), and the per-stream-valid
+scan fallback.  Chip-level serving numbers live in benchmarks/suite.py
+(7m* keys)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pvot.config import TrackerConfig
+from pvot.io.gray import gray_u8_to_f32
+from pvot.io.serving import _StreamFeed, serve_streams
+from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+from pvot.tracker.scan import track_video
+from pvot.tracker.state import init_state
+
+CONFIG = TrackerConfig(search_radius_x=8, search_radius_y=8)
+
+
+def _make_streams(lengths, seed0=3, spec_overrides=()):
+    """Unequal-length synthetic streams sharing one (94, 250) geometry."""
+    videos, states = [], []
+    for i, n in enumerate(lengths):
+        kw = dict(
+            width=250, height=94, num_frames=n + 1, target_w=16,
+            target_h=16, seed=seed0 + i, noise_std=1.0,
+        )
+        if i < len(spec_overrides):
+            kw.update(spec_overrides[i])
+        spec = SyntheticSpec(**kw)
+        frames = generate_gray_video(spec)
+        x, y, w, h = target_bbox(spec, 0)
+        templ = jnp.asarray(gray_u8_to_f32(frames[0])[y : y + h, x : x + w])
+        videos.append(frames)
+        states.append(init_state(templ, (x, y, w, h)))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    return videos, states, stacked
+
+
+def _assert_stream_equal(want, got):
+    np.testing.assert_array_equal(want.bbox, got.bbox)
+    np.testing.assert_array_equal(want.updated, got.updated)
+    np.testing.assert_array_equal(want.used_global, got.used_global)
+    np.testing.assert_allclose(want.score, got.score, atol=1e-5)
+
+
+def test_stream_feed_holds_after_end(rng):
+    frames = rng.integers(0, 256, size=(6, 8, 8), dtype=np.uint8)
+    feed = _StreamFeed(iter(frames), (8, 8), chunk_size=4)
+    c0, n0 = feed.next_chunk()
+    c1, n1 = feed.next_chunk()
+    assert (n0, n1) == (4, 2)
+    np.testing.assert_array_equal(c1[:2], frames[4:6])
+    c2, n2 = feed.next_chunk()  # exhausted: held last frame, zero valid
+    assert n2 == 0 and feed.done
+    np.testing.assert_array_equal(c2, np.broadcast_to(frames[5], (4, 8, 8)))
+    feed.close()
+
+
+def test_serve_streams_scan_unequal_lengths():
+    """The scan fallback's per-stream validity mask: three streams ending
+    at different ticks, each trajectory exactly the single-stream scan."""
+    lengths = [13, 6, 17]
+    videos, states, stacked = _make_streams(lengths)
+    final, outs = serve_streams(
+        [iter(v[1:]) for v in videos], stacked, (94, 250), CONFIG,
+        backend="xla", chunk_size=4,
+    )
+    assert [o.bbox.shape[0] for o in outs] == lengths
+    for s, n in enumerate(lengths):
+        want_state, want = track_video(
+            videos[s][1:], states[s], CONFIG, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        _assert_stream_equal(want, outs[s])
+        assert int(final.bbox_x[s]) == int(want_state.bbox_x)
+        np.testing.assert_allclose(
+            np.asarray(final.template[s]),
+            np.asarray(want_state.template), atol=1e-6,
+        )
+
+
+def test_serve_streams_mega_interpret_unequal_lengths():
+    """The mega serving path (one pallas_call per lockstep chunk) over
+    unequal-length streams: ended streams ride n_valid=0 lanes with frozen
+    state while the longest stream finishes."""
+    lengths = [13, 7]
+    videos, states, stacked = _make_streams(lengths)
+    timings: list = []
+    final, outs = serve_streams(
+        [iter(v[1:]) for v in videos], stacked, (94, 250), CONFIG,
+        backend="mega", scan_backend="xla", chunk_size=4,
+        timings=timings, interpret=True, _probe=True,
+    )
+    assert [o.bbox.shape[0] for o in outs] == lengths
+    assert sum(n for n, _ in timings) == sum(lengths)
+    for s, n in enumerate(lengths):
+        want_state, want = track_video(
+            videos[s][1:], states[s], CONFIG, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        _assert_stream_equal(want, outs[s])
+        assert int(final.bbox_x[s]) == int(want_state.bbox_x)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_serve_streams_mega_per_stream_poison(depth):
+    """A stream that loses its object mid-serve poisons and re-runs ONLY
+    its own chunks on the scan path; the healthy stream's mega records
+    commit untouched and both trajectories match the scan oracle.  depth=1
+    is the strict synchronous mode; depth>=2 discovers the poison one or
+    more chunks late and must flush the in-flight window (committing the
+    clean lane's records, re-running the poisoned lane's)."""
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    # Stream 0 tracks cleanly (slow 120-frame sinusoid sliced short);
+    # stream 1 exits the frame and re-enters (goes global).
+    videos, states, stacked = _make_streams(
+        [17, 17],
+        spec_overrides=(
+            dict(num_frames=120),
+            dict(seed=5, exit_and_reenter=True, noise_std=2.0),
+        ),
+    )
+    videos = [v[:18] for v in videos]
+    final, outs = serve_streams(
+        [iter(v[1:]) for v in videos], stacked, (94, 250), config,
+        backend="mega", scan_backend="xla", chunk_size=4,
+        pipeline_depth=depth, interpret=True, _probe=True,
+    )
+    assert outs[1].used_global.any(), "lost stream must go global"
+    assert not outs[0].used_global.any()
+    for s in range(2):
+        want_state, want = track_video(
+            videos[s][1:], states[s], config, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        _assert_stream_equal(want, outs[s])
+        assert int(final.bbox_x[s]) == int(want_state.bbox_x)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+@pytest.mark.parametrize("use_mega", [False, True])
+def test_serve_streams_multidevice(use_mega):
+    """Streams fanned over 4 devices (host-driven data parallelism, one
+    pipelined driver per device group) must return BIT-IDENTICAL results
+    to the single-device serve, in submission order — the fan-out only
+    changes placement, never math."""
+    lengths = [13, 6, 9, 11, 7]
+    videos, states, stacked = _make_streams(lengths)
+    kw = (
+        dict(backend="mega", interpret=True, _probe=True)
+        if use_mega else dict(backend="xla")
+    )
+    want_final, want_outs = serve_streams(
+        [iter(v[1:]) for v in videos], stacked, (94, 250), CONFIG,
+        scan_backend="xla", chunk_size=4, **kw,
+    )
+    final, outs = serve_streams(
+        [iter(v[1:]) for v in videos], stacked, (94, 250), CONFIG,
+        scan_backend="xla", chunk_size=4,
+        devices=jax.devices()[:4], **kw,
+    )
+    assert [o.bbox.shape[0] for o in outs] == lengths
+    for s in range(len(lengths)):
+        np.testing.assert_array_equal(want_outs[s].bbox, outs[s].bbox)
+        np.testing.assert_array_equal(want_outs[s].score, outs[s].score)
+        np.testing.assert_array_equal(want_outs[s].updated, outs[s].updated)
+        assert int(final.bbox_x[s]) == int(want_final.bbox_x[s])
+        np.testing.assert_array_equal(
+            np.asarray(final.template[s]), np.asarray(want_final.template[s])
+        )
+
+
+def test_serve_cli_synthetic(tmp_path, capsys):
+    """pvot-serve end to end on synthetic streams: per-stream summaries,
+    aggregate summary line, and per-stream JSON-lines trajectories."""
+    import json
+
+    from pvot.cli.serve import main
+
+    rc = main([
+        "--synthetic", "320x240x12", "--streams", "2", "--chunk-size", "4",
+        "--search-radius", "24",
+        "--trajectory-out", str(tmp_path / "traj"),
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Serving summary: streams=2, frames=22" in text
+    assert "stream 0: frames=11" in text
+    for s in range(2):
+        lines = (tmp_path / f"traj.s{s}.jsonl").read_text().splitlines()
+        assert len(lines) == 11
+        rec = json.loads(lines[0])
+        assert rec["stream"] == s and rec["frame"] == 1
+        assert len(rec["bbox"]) == 4
+
+
+def test_serve_cli_video_files(tmp_path, capsys):
+    """pvot-serve over real video files (encoded fixtures), shared --roi."""
+    import cv2  # noqa: F401  (skip below if absent)
+
+    from pvot.cli.serve import main
+    from pvot.io.synthetic import SyntheticSpec, generate_bgr_frames
+    from pvot.io.video import VideoWriter
+
+    spec = SyntheticSpec(
+        width=160, height=120, num_frames=10, target_w=32, target_h=32,
+        seed=9,
+    )
+    paths = []
+    for s in range(2):
+        path = str(tmp_path / f"clip{s}.avi")
+        with VideoWriter(path, fps=30.0, size=(160, 120)) as wtr:
+            for frame in generate_bgr_frames(spec):
+                wtr.write(frame)
+        paths.append(path)
+    rc = main(paths + [
+        "--roi", "64,44,32,32", "--chunk-size", "4", "--search-radius", "16",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Serving summary: streams=2, frames=18" in text
+
+
+def test_serve_cli_arg_errors(capsys):
+    import pytest as _pytest
+
+    from pvot.cli.serve import main, parse_args
+
+    with _pytest.raises(SystemExit):
+        parse_args([])  # no inputs at all
+    with _pytest.raises(SystemExit):
+        parse_args(["a.mp4", "--synthetic", "64x48x4"])  # both
+    # ROI count mismatch: 2 ROIs for 3 streams.
+    rc = main([
+        "--synthetic", "320x240x4", "--streams", "3",
+        "--roi", "1,1,8,8", "--roi", "2,2,8,8",
+    ])
+    assert rc == 2
+    # ROI extent mismatch: stacked templates need one (W, H).
+    rc = main([
+        "--synthetic", "320x240x4", "--streams", "2",
+        "--roi", "1,1,8,8", "--roi", "2,2,16,16",
+    ])
+    assert rc == 2
+    capsys.readouterr()
+
+
+def test_serve_streams_mega_wire_staging_matches_prepad():
+    """prepad=False (wire-size frames, in-jit pad) must be bit-identical
+    to the host-pre-padded default — the pad only ever adds zero pixels
+    past every slab read."""
+    lengths = [9, 6]
+    videos, states, stacked = _make_streams(lengths)
+    runs = []
+    for prepad in (True, False):
+        final, outs = serve_streams(
+            [iter(v[1:]) for v in videos], stacked, (94, 250), CONFIG,
+            backend="mega", scan_backend="xla", chunk_size=4,
+            prepad=prepad, interpret=True, _probe=True,
+        )
+        runs.append((final, outs))
+    (fa, oa), (fb, ob) = runs
+    for s in range(2):
+        np.testing.assert_array_equal(oa[s].bbox, ob[s].bbox)
+        np.testing.assert_array_equal(oa[s].score, ob[s].score)
+        np.testing.assert_array_equal(
+            np.asarray(fa.template[s]), np.asarray(fb.template[s])
+        )
+
+
+def test_serve_streams_mega_envelope_fallback():
+    """Outside the mega envelope serve_streams(backend='mega') serves on
+    the lockstep scan engines with the same output contract."""
+    config = TrackerConfig(search_radius_x=70, search_radius_y=8)
+    lengths = [9, 5]
+    videos, states, stacked = _make_streams(lengths)
+    final, outs = serve_streams(
+        [iter(v[1:]) for v in videos], stacked, (94, 250), config,
+        backend="mega", scan_backend="xla", chunk_size=4,
+    )
+    assert [o.bbox.shape[0] for o in outs] == lengths
+    for s, n in enumerate(lengths):
+        _, want = track_video(
+            videos[s][1:], states[s], config, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        _assert_stream_equal(want, outs[s])
