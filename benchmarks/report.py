@@ -74,11 +74,12 @@ def _label(rec):
     m = re.match(r"multi_stream_(\d+)x_batch(\d+)_720p", cfg)
     if m:
         return f"{m.group(1)} streams x batch {m.group(2)}"
-    m = re.match(r"multi_stream_(\d+)x_720p", cfg)
+    m = re.match(r"multi_stream_(\d+)x_(\d+)p", cfg)
     if m:
         engine = rec.get("backend")
         suffix = f", {engine} engine" if engine else ""
-        return f"{m.group(1)} independent streams (serving{suffix})"
+        res = "" if m.group(2) == "720" else f" {m.group(2)}p"
+        return f"{m.group(1)} independent{res} streams (serving{suffix})"
     m = re.match(r"serving_e2e_(\d+)x_720p", cfg)
     if m:
         engine = rec.get("backend")

@@ -368,7 +368,7 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
     config = TrackerConfig()
     if not MegaGeometry((height, width), (templ, templ), config).supported():
         return {
-            "config": f"multi_stream_{num_streams}x_720p",
+            "config": f"multi_stream_{num_streams}x_{height}p",
             "backend": "mega",
             "skipped": "geometry outside the mega envelope",
         }
@@ -440,7 +440,7 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
     flops = fused_region_flops(templ, 60)
     achieved = flops * (num_frames / elapsed) * num_streams
     return {
-        "config": f"multi_stream_{num_streams}x_720p",
+        "config": f"multi_stream_{num_streams}x_{height}p",
         "backend": "mega" if highest else "mega_fast",
         "value": round(fps, 2),
         "unit": "frames/s per stream (lockstep)",
@@ -790,7 +790,15 @@ CONFIGS = {
     # Mode-flag comparison table (reference README.md:128-137 analog).
     "10": lambda frames: bench_mode_comparison(frames),
     # Mega-kernel headline (bench.py's default backend since round 3c).
-    "11": lambda frames: bench_mega(num_frames=max(512, frames)),
+    # 2048 frames: the ~30 ms relay floor amortizes to ~15 us/frame (a
+    # 512-frame row reads ~40% low; docs/PERFORMANCE.md attribution).
+    "11": lambda frames: bench_mega(num_frames=max(2048, frames)),
+    # Serving beyond 720p: 8 x 1080p streams on the multi-stream mega
+    # kernel (same 80x80 template / r60 envelope).  96 frames keeps the
+    # staged uint8 under ~1.6 GB (relay RESOURCE_EXHAUSTED guideline).
+    "7m1080": lambda frames: bench_multi_stream_mega(
+        8, width=1920, height=1080, num_frames=96, chunk_size=24,
+    ),
 }
 
 

@@ -77,6 +77,16 @@ def parse_args(argv: List[str]):
         "--trajectory-out", default=None, metavar="PREFIX",
         help="write per-stream JSON-lines trajectories to PREFIX.s<K>.jsonl",
     )
+    p.add_argument(
+        "--checkpoint-out", default=None,
+        help="save the final stacked tracker states (all streams, one .npz)",
+    )
+    p.add_argument(
+        "--resume", default=None,
+        help="resume every stream from a stacked-state .npz "
+             "(saved by --checkpoint-out) instead of --roi templates; "
+             "frames then start at each stream's current position",
+    )
     args = p.parse_args(argv)
     if not args.videos and not args.synthetic:
         p.error("give video paths or --synthetic WxHxF")
@@ -113,7 +123,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     import jax.numpy as jnp
 
     from pvot.io.gray import bgr_to_gray_u8, gray_u8_to_f32
-    from pvot.io.serving import serve_streams
     from pvot.parallel.multi import init_multi_state
 
     # --- Per-stream first frames + remaining-frame iterators ---------------
@@ -140,9 +149,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         firsts, feeds, default_rois = [], [], []
         for spec in specs:
             gen = generate_gray_frames(spec)
-            firsts.append(next(gen))
+            if not args.resume:  # frame 0 seeds the template
+                firsts.append(next(gen))
+                default_rois.append(target_bbox(spec, 0))
             feeds.append(_limit(gen, args.max_frames))
-            default_rois.append(target_bbox(spec, 0))
         frame_shape = (h, w)
     else:
         from pvot.io.video import VideoReader
@@ -160,15 +170,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         frame_shape = (height, width)
         firsts, feeds, default_rois = [], [], []
         for r in readers:
-            first = r.read()
-            if first is None:
-                print(f"Empty video: {r.path}", file=sys.stderr)
-                return 2
-            firsts.append(bgr_to_gray_u8(first))
+            if not args.resume:  # frame 0 seeds the template
+                first = r.read()
+                if first is None:
+                    print(f"Empty video: {r.path}", file=sys.stderr)
+                    return 2
+                firsts.append(bgr_to_gray_u8(first))
+                default_rois.append(None)
             feeds.append(_limit(iter(r), args.max_frames))
-            default_rois.append(None)
 
     n_streams = len(feeds)
+
+    if args.resume:
+        from pvot.utils.checkpoint import load_state
+
+        states = load_state(args.resume)
+        saved = int(np.shape(states.t_mean)[0]) if np.ndim(states.t_mean) else 1
+        if saved != n_streams:
+            print(
+                f"--resume checkpoint holds {saved} stream states for "
+                f"{n_streams} streams",
+                file=sys.stderr,
+            )
+            return 2
+        th, tw = np.shape(states.template)[-2:]
+        return _run_serving(args, feeds, states, frame_shape, (tw, th),
+                            closers)
 
     # --- ROIs: one shared, one per stream, or synthetic defaults -----------
     if args.roi:
@@ -209,6 +236,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         for first, (x, y, rw, rh) in zip(firsts, rois)
     ]
     states = init_multi_state(templates, rois)
+    return _run_serving(
+        args, feeds, states, frame_shape, (rois[0][2], rois[0][3]), closers
+    )
+
+
+def _run_serving(args, feeds, states, frame_shape, templ_wh, closers) -> int:
+    from pvot.io.serving import serve_streams
+
+    n_streams = len(feeds)
     config = TrackerConfig(
         **(
             {"search_radius_x": args.search_radius,
@@ -218,7 +254,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     ).validate()
 
     print(f"Serving {n_streams} streams at {frame_shape[1]}x{frame_shape[0]}, "
-          f"template {rois[0][2]}x{rois[0][3]}, chunk {args.chunk_size}, "
+          f"template {templ_wh[0]}x{templ_wh[1]}, chunk {args.chunk_size}, "
           f"tier {'fast' if args.fast else 'highest'}")
     timings: list = []
     t0 = time.perf_counter()
@@ -267,6 +303,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "updated": bool(out.updated[i]),
                     }) + "\n")
         print(f"Trajectories written: {args.trajectory_out}.s*.jsonl")
+
+    if args.checkpoint_out:
+        from pvot.utils.checkpoint import save_state
+
+        saved_path = save_state(args.checkpoint_out, final)
+        print(f"Checkpoint saved: {saved_path} ({n_streams} stream states)")
     return 0
 
 

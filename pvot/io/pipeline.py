@@ -256,7 +256,7 @@ def _track_stream_mega(
     import jax
     import jax.numpy as jnp
 
-    from pvot.ops.ncc_mega import O_POISON, mega_track_chunk
+    from pvot.ops.ncc_mega import MegaGeometry, O_POISON, mega_track_chunk
     from pvot.tracker.mega import _rows_to_output, _state_from_chunk
     from pvot.tracker.scan import _cached_masked_scan, _stack_outputs
 
@@ -265,12 +265,20 @@ def _track_stream_mega(
     state_extract = jax.jit(_state_from_chunk)
     scan_fn = None  # built lazily: only a poisoned chunk needs it
     pipe = FramePipeline(frame_iter, frame_shape, chunk_size=chunk_size)
+    # Host-pre-padded staging (the bench.py mega default): one reused
+    # buffer is safe because the synchronous per-chunk rows fetch below
+    # forces the previous chunk's input transfer to completion before the
+    # buffer is rewritten (~6-8 us/frame cheaper than the in-jit pad,
+    # tools/mega_fast_ab.py).
+    g = MegaGeometry((h, w), (th, tw), config)
+    staged = np.zeros((chunk_size, g.pad_h, g.pad_w), np.uint8)
     outs = []
     mark = time.perf_counter()
     try:
         for chunk, n_real in pipe.chunks():
             snapshot = state
-            dev_chunk = jax.device_put(chunk)
+            staged[:, :h, :w] = chunk
+            dev_chunk = jax.device_put(staged)
             rows, tplout = mega_track_chunk(
                 dev_chunk,
                 jnp.stack(
@@ -294,8 +302,10 @@ def _track_stream_mega(
                         "uint8", chunk_size,
                     )
                 valid = np.arange(chunk_size) < n_real
+                # The scan path consumes WIRE-SIZE frames — re-ship the
+                # unpadded chunk, not the pre-padded staging buffer.
                 state, out = scan_fn(
-                    snapshot, dev_chunk, jax.device_put(valid)
+                    snapshot, jax.device_put(chunk), jax.device_put(valid)
                 )
                 outs.append(
                     jax.tree.map(lambda a: np.asarray(a[:n_real]), out)

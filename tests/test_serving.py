@@ -226,6 +226,89 @@ def test_serve_cli_video_files(tmp_path, capsys):
     assert "Serving summary: streams=2, frames=18" in text
 
 
+def test_serve_streams_decode_error_propagates():
+    """A stream whose decoder raises mid-serve must surface the error and
+    join every feed's decode thread (no leaked threads, no hang)."""
+    import threading
+
+    def bad_iter():
+        yield np.zeros((94, 250), np.uint8)
+        raise RuntimeError("decode failed")
+
+    import time as _time
+
+    videos, states, stacked = _make_streams([9, 9])
+    before = threading.active_count()
+    with pytest.raises(RuntimeError, match="decode failed"):
+        serve_streams(
+            [iter(videos[0][1:]), bad_iter()], stacked, (94, 250), CONFIG,
+            backend="xla", chunk_size=4,
+        )
+    # Feeds are closed in the driver's finally: decode threads must wind
+    # down (stop event + join), restoring the pre-call thread count.
+    for _ in range(100):
+        if threading.active_count() <= before:
+            break
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_serve_streams_checkpoint_resume_bit_identical(tmp_path):
+    """Stop-and-resume mid-serve through the stacked-state checkpoint:
+    first half -> save -> load -> second half must equal one full serve
+    bit for bit (the checkpoint round-trips the whole scan carry)."""
+    from pvot.utils.checkpoint import load_state, save_state
+
+    videos, states, stacked = _make_streams([12, 12])
+    full_final, full_outs = serve_streams(
+        [iter(v[1:]) for v in videos], stacked, (94, 250), CONFIG,
+        backend="xla", chunk_size=4,
+    )
+    half_final, half_outs = serve_streams(
+        [iter(v[1:7]) for v in videos], stacked, (94, 250), CONFIG,
+        backend="xla", chunk_size=4,
+    )
+    path = save_state(str(tmp_path / "serve_ckpt"), half_final)
+    resumed = load_state(path)
+    _, rest_outs = serve_streams(
+        [iter(v[7:]) for v in videos], resumed, (94, 250), CONFIG,
+        backend="xla", chunk_size=4,
+    )
+    for s in range(2):
+        got_bbox = np.concatenate([half_outs[s].bbox, rest_outs[s].bbox])
+        got_score = np.concatenate([half_outs[s].score, rest_outs[s].score])
+        np.testing.assert_array_equal(full_outs[s].bbox, got_bbox)
+        np.testing.assert_array_equal(full_outs[s].score, got_score)
+
+
+def test_serve_cli_checkpoint_resume(tmp_path, capsys):
+    """pvot-serve --checkpoint-out writes a stacked-state .npz that
+    --resume accepts (stream-count validated)."""
+    from pvot.cli.serve import main
+
+    ckpt = str(tmp_path / "ck")
+    rc = main([
+        "--synthetic", "320x240x8", "--streams", "2", "--chunk-size", "4",
+        "--search-radius", "24", "--checkpoint-out", ckpt,
+    ])
+    assert rc == 0
+    assert "Checkpoint saved" in capsys.readouterr().out
+    rc = main([
+        "--synthetic", "320x240x8", "--streams", "2", "--chunk-size", "4",
+        "--search-radius", "24", "--resume", ckpt + ".npz",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Serving summary: streams=2, frames=16" in text  # all 8 frames/stream
+    # Stream-count mismatch is rejected.
+    rc = main([
+        "--synthetic", "320x240x8", "--streams", "3", "--chunk-size", "4",
+        "--search-radius", "24", "--resume", ckpt + ".npz",
+    ])
+    assert rc == 2
+    capsys.readouterr()
+
+
 def test_serve_cli_arg_errors(capsys):
     import pytest as _pytest
 
