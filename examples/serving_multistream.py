@@ -3,8 +3,8 @@ mega kernel.
 
 Every chunk of every stream runs in ONE pallas_call (grid (S, F), frame
 axis innermost — pvot/ops/ncc_mega.py `mega_track_chunk_multi`), so each
-stream tracks at the single-stream mega rate: 19-24k aggregate 720p FPS
-at HIGHEST parity on one v5e chip, ~30k on the fast tier
+stream tracks at the single-stream mega rate: 23-29k aggregate 720p FPS
+at HIGHEST parity on one v5e chip, ~39k on the fast tier
 (docs/PERFORMANCE.md "Saturation point").  On geometries outside the
 mega envelope — or if the per-geometry compile+numerics probe fails —
 `track_streams_mega` transparently falls back to the per-stream scan

@@ -13,8 +13,8 @@ cameras there means S processes × S GPUs.  Here one chip serves all S:
                 tools/mega_dispatch_ab.py attribution)
   compute     — every chunk of every stream is ONE pallas_call
                 (pvot.ops.ncc_mega.mega_track_chunk_multi, grid (S, F)):
-                each stream tracks at the single-stream mega rate, ~19-24k
-                aggregate 720p FPS HIGHEST / ~30k fast tier on one v5e
+                each stream tracks at the single-stream mega rate, ~23-29k
+                aggregate 720p FPS HIGHEST / ~39k fast tier on one v5e
                 (docs/PERFORMANCE.md "Saturation point")
   commit      — per-stream transactional poison handling: a stream whose
                 state machine enters a global-search branch re-runs just
