@@ -900,6 +900,20 @@ def merge_results(path: str, new: list) -> list:
     except (OSError, ValueError):
         return new
     key = lambda r: (r.get("config"), r.get("backend"))  # noqa: E731
+    # Drop stale same-key duplicates first (pre-merge-era files could hold
+    # two rows for one key; replacement only ever hit the first, so the
+    # second fossilized).
+    seen = set()
+    deduped = []
+    for r in merged:
+        if "_meta" in r:
+            deduped.append(r)
+            continue
+        if key(r) in seen:
+            continue
+        seen.add(key(r))
+        deduped.append(r)
+    merged = deduped
     for rec in new:
         if "_meta" in rec:
             merged = [r for r in merged if "_meta" not in r] + [rec]

@@ -157,6 +157,20 @@ def test_suite_merge_results_partial_run(tmp_path):
     assert {"config": "a", "backend": "mega", "value": 7} in merged2
     # Missing file: new results pass through.
     assert merge_results(str(tmp_path / "none.json"), existing) == existing
+    # Pre-merge-era duplicate keys collapse to the first occurrence
+    # (replacement used to hit only the first; the second fossilized).
+    path.write_text(json.dumps([
+        {"config": "a", "backend": "fast", "value": 1},
+        {"config": "a", "backend": "fast", "value": 0},
+        {"_meta": "old"},
+    ]))
+    merged3 = merge_results(str(path), [
+        {"config": "a", "backend": "fast", "value": 5},
+    ])
+    assert merged3 == [
+        {"config": "a", "backend": "fast", "value": 5},
+        {"_meta": "old"},
+    ]
 
 
 def test_jaxcache_enable_and_disable(tmp_path, monkeypatch):
