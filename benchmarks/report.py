@@ -70,6 +70,9 @@ def _label(rec):
         return _LABELS[cfg]
     m = re.match(r"multi_object_(\d+)x_720p", cfg)
     if m:
+        engine = rec.get("backend")
+        if engine in ("mega", "mega_fast"):
+            return f"{m.group(1)} objects / frame ({engine} kernel)"
         return f"{m.group(1)} objects / frame (vmap)"
     m = re.match(r"multi_stream_(\d+)x_batch(\d+)_720p", cfg)
     if m:

@@ -628,6 +628,116 @@ def bench_stream_sweep(sizes=(8, 16, 32, 64), backend="fast"):
     return out
 
 
+def bench_multi_object_mega(num_objects=8, width=1280, height=720, templ=80,
+                            num_frames=256, chunk_size=64, passes=2,
+                            highest=True):
+    """Multi-object tracking on the MULTI-OBJECT mega kernel: K trackers
+    over ONE shared clip per pallas_call (grid (K, F), shared-frame index
+    map — pvot.ops.ncc_mega.mega_track_chunk_objects).  The vmapped scan
+    step (config 5) pays per-object HBM score/im2col traffic and scan
+    glue; here each object runs at the single-tracker mega rate.  All K
+    objects start on the ground-truth target so every lane
+    trajectory-checks.  passes: see bench_multi_stream_mega."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import (
+        SyntheticSpec,
+        generate_gray_frames,
+        target_bbox,
+    )
+    from pvot.ops.ncc_mega import (
+        MegaGeometry,
+        O_BX,
+        O_POISON,
+        mega_track_chunk_objects,
+    )
+    from pvot.tracker.mega import _state_from_chunk
+    from pvot.tracker.state import init_state
+
+    config = TrackerConfig()
+    if not MegaGeometry((height, width), (templ, templ), config).supported():
+        return {
+            "config": f"multi_object_{num_objects}x_{height}p",
+            "backend": "mega",
+            "skipped": "geometry outside the mega envelope",
+        }
+    spec = SyntheticSpec(
+        width=width, height=height,
+        num_frames=max(257, num_frames + 1),
+        target_w=templ, target_h=templ, seed=1,
+    )
+    base = np.stack(list(itertools.islice(
+        generate_gray_frames(spec), num_frames + 1
+    )))
+    x, y, w, h = target_bbox(spec, 0)
+    templ_img = gray_u8_to_f32(base[0])[y : y + h, x : x + w]
+    one = init_state(jnp.asarray(templ_img), (x, y, w, h))
+    states = jax.tree.map(lambda a: jnp.stack([a] * num_objects), one)
+    staged = [
+        jax.device_put(base[1 + i : 1 + i + chunk_size])
+        for i in range(0, num_frames, chunk_size)
+    ]
+    jax.block_until_ready(staged[-1])
+    extract = jax.jit(jax.vmap(_state_from_chunk))
+    n_valid = jnp.full((num_objects,), chunk_size, jnp.int32)
+
+    def run(fetch):
+        rows_all = []
+        for _ in range(passes):
+            st = states
+            for c in staged:
+                rows, tplout = mega_track_chunk_objects(
+                    c,
+                    jnp.stack(
+                        [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
+                    ).astype(jnp.int32),
+                    st.template, st.t_mean, st.t_std, st.lost_count,
+                    st.use_global, n_valid,
+                    frame_shape=(height, width), templ_shape=(h, w),
+                    config=config, highest=highest,
+                )
+                st = extract(rows, tplout)
+                rows_all.append(rows)
+        dev = jnp.concatenate(rows_all, axis=1)  # (K, P*F, TX)
+        if not fetch:
+            return dev
+        dev.copy_to_host_async()
+        return np.asarray(dev)
+
+    host, elapsed = _stage_flip_time(lambda: run(False), lambda: run(True))
+    bboxes = host[:, :, O_BX : O_BX + 4].astype(np.int32)
+    errs = [
+        abs(int(bboxes[k, i, 0]) - target_bbox(spec, (i % num_frames) + 1)[0])
+        + abs(int(bboxes[k, i, 1]) - target_bbox(spec, (i % num_frames) + 1)[1])
+        for k in range(num_objects)
+        for i in range(num_frames * passes)
+    ]
+    fps = num_frames * passes / elapsed
+    flops = fused_region_flops(templ, 60)
+    achieved = flops * fps * num_objects
+    return {
+        "config": f"multi_object_{num_objects}x_{height}p",
+        "backend": "mega" if highest else "mega_fast",
+        "value": round(fps, 2),
+        "unit": "frames/s (all objects per frame)",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "object_rate": round(fps * num_objects, 1),
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_f32_highest_pct": round(100.0 * achieved / V5E_F32_HIGHEST_PEAK, 2),
+        "mfu_bf16_pct": round(100.0 * achieved / V5E_BF16_PEAK, 2),
+        "frames": num_frames,
+        "passes": passes,
+        "elapsed_s": round(elapsed, 4),
+        "max_l1_err_px": int(max(errs)),
+        "poisoned": int((host[:, :, O_POISON] != 0.0).sum()),
+    }
+
+
 def bench_serving_e2e(num_streams=16, width=1280, height=720, templ=80,
                       num_frames=256, chunk_size=32, highest=False,
                       pipeline_depth=2, prepad=False):
@@ -765,6 +875,9 @@ CONFIGS = {
         ),
     ],
     "5": lambda frames: bench_multi_object(),
+    # Multi-object on the multi-object mega kernel (grid (K, F), shared
+    # frames) — the vmapped scan step (key 5) is the fallback path.
+    "5m": lambda frames: bench_multi_object_mega(),
     "6": lambda frames: bench_multi_stream(),
     # Saturation sweep: aggregate FPS + MFU vs lockstep stream count.
     # One key per size — each runs in its own subprocess: even a single

@@ -45,6 +45,10 @@ def __getattr__(name):  # lazy heavyweight entry points
         from pvot.tracker.mega import track_streams_mega
 
         return track_streams_mega
+    if name == "track_objects_mega":
+        from pvot.tracker.mega import track_objects_mega
+
+        return track_objects_mega
     if name == "serve_streams":
         from pvot.io.serving import serve_streams
 

@@ -132,6 +132,7 @@ def _mega_kernel(
     config: TrackerConfig,
     highest: bool = True,
     multi: bool = False,
+    shared_frames: bool = False,
     box_band: bool = False,
     roll_u8: bool = False,
 ):
@@ -141,11 +142,15 @@ def _mega_kernel(
     # streams: each stream re-initializes it at its own t == 0 and flushes
     # its template at t == F-1 (the per-stream input/output blocks rotate
     # via their (s, 0) index maps).
+    # shared_frames (with multi): the MULTI-OBJECT layout — all K trackers
+    # consume the SAME (F, H, W) clip, so the frame index drops the
+    # stream stride; each object still DMAs its own search-window slab
+    # (objects sit at different positions in the shared frame).
     if multi:
         s = pl.program_id(0)
         num_t = pl.num_programs(1)
         t = pl.program_id(1)
-        frame_idx = s * num_t + t
+        frame_idx = t if shared_frames else s * num_t + t
         # Whole-array SMEM with a dynamic stream index: TPU lowering
         # rejects (1, 8) SMEM *blocks* (block dims must be divisible by
         # (8, 128) or equal the array), but scalar loads at a traced SMEM
@@ -677,4 +682,136 @@ def mega_track_chunk_multi(
     )(framesp, tpl0, box, sf0, si0)
     rows = rows.reshape(s_streams, f, 8, TX)[:, :, 0, :]
     tplout = tplout.reshape(s_streams, g.rows8, g.m_lanes)
+    return rows, tplout[:, : g.th, : g.tw]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "frame_shape", "templ_shape", "config", "interpret", "highest",
+    ),
+)
+def mega_track_chunk_objects(
+    frames_u8: jax.Array,  # (F, H, W) uint8 (or pre-padded (F, ph, pw))
+    bbox: jax.Array,  # (K, 4) i32
+    template: jax.Array,  # (K, th, tw) f32
+    t_mean: jax.Array,  # (K,)
+    t_std: jax.Array,  # (K,)
+    lost_count: jax.Array,  # (K,)
+    use_global: jax.Array,  # (K,)
+    n_valid: jax.Array,  # (K,) i32
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+    highest: bool = True,
+):
+    """K independent trackers over ONE shared clip in ONE pallas_call —
+    the MULTI-OBJECT mega path (the reference's never-implemented 150%
+    stretch goal, SURVEY.md §2e).  Grid (K, F), frame axis innermost,
+    exactly the multi-stream layout except every grid column reads the
+    SAME frame (shared_frames index map); per-object state re-seeds from
+    the (k, 0)-indexed blocks and each object DMAs its own aligned
+    search-window slab out of the shared frame.  vs the vmapped scan
+    engine (pvot.parallel.multi.make_multi_step): no per-object HBM
+    score-map/im2col traffic and no per-frame scan glue.
+
+    Returns (rows (K, F, TX), final templates (K, th, tw)); poison
+    semantics per object (pvot.tracker.mega.track_objects_mega)."""
+    g = MegaGeometry(frame_shape, templ_shape, config)
+    f = frames_u8.shape[0]
+    k_objects = template.shape[0]
+    if frames_u8.shape[1:] == (g.pad_h, g.pad_w):
+        framesp = frames_u8
+    else:
+        framesp = jnp.pad(
+            frames_u8,
+            (
+                (0, 0),
+                (0, g.pad_h - g.frame_h),
+                (0, g.pad_w - g.frame_w),
+            ),
+        )
+    tpl0 = jnp.pad(
+        template.astype(jnp.float32),
+        ((0, 0), (0, g.rows8 - g.th), (0, g.m_lanes - g.tw)),
+    ).reshape(k_objects * g.rows8, g.m_lanes)
+    t_centered_sum = jnp.sum(
+        template.astype(jnp.float32) - t_mean[:, None, None], axis=(1, 2)
+    )
+    zeros = jnp.zeros((k_objects,), jnp.float32)
+    sf0 = jnp.stack(
+        [
+            t_mean.astype(jnp.float32), t_std.astype(jnp.float32),
+            t_centered_sum, zeros, zeros, zeros, zeros, zeros,
+        ],
+        axis=-1,
+    )  # (K, 8)
+    izeros = jnp.zeros((k_objects,), jnp.int32)
+    si0 = jnp.stack(
+        [
+            bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3],
+            lost_count.astype(jnp.int32),
+            use_global.astype(jnp.int32),
+            n_valid.astype(jnp.int32),
+            izeros,
+        ],
+        axis=-1,
+    )  # (K, 8)
+    box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
+    kernel = functools.partial(
+        _mega_kernel, g=g, config=config, highest=highest, multi=True,
+        shared_frames=True,
+    )
+    vmem_budget = (
+        g.slab_h * g.slab_w * 5
+        + 4 * 6 * g.rows8 * g.m_lanes
+        + 4 * g.tile_lanes * TX
+        + 4 * (g.ty + 8) * g.m_lanes * 4
+        + 24 * 1024 * 1024
+    )
+    rows, tplout = pl.pallas_call(
+        kernel,
+        grid=(k_objects, f),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (g.rows8, g.m_lanes), lambda k, t: (k, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g.tile_lanes, TX), lambda k, t: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (8, TX), lambda k, t, _f=f: (k * _f + t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g.rows8, g.m_lanes), lambda k, t: (k, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k_objects * f * 8, TX), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (k_objects * g.rows8, g.m_lanes), jnp.float32
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g.slab_h, g.slab_w), jnp.uint8),
+            pltpu.VMEM((g.rows8, g.m_lanes), jnp.float32),
+            pltpu.SMEM((4,), jnp.float32),
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
+        interpret=interpret,
+    )(framesp, tpl0, box, sf0, si0)
+    rows = rows.reshape(k_objects, f, 8, TX)[:, :, 0, :]
+    tplout = tplout.reshape(k_objects, g.rows8, g.m_lanes)
     return rows, tplout[:, : g.th, : g.tw]

@@ -36,6 +36,7 @@ from pvot.ops.ncc_mega import (
     O_USEG,
     mega_track_chunk,
     mega_track_chunk_multi,
+    mega_track_chunk_objects,
 )
 from pvot.ops.ncc_reference import template_stats
 from pvot.tracker.scan import track_video
@@ -448,4 +449,188 @@ def track_streams_mega(
     final = jax.tree.map(lambda *xs: jnp.stack(xs), *final_states)
     return final, StepOutput(
         *(np.stack(xs, axis=1) for xs in zip(*stream_outs))
+    )
+
+
+def mega_objects_supported(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+) -> bool:
+    """Compile + numerics probe for the MULTI-OBJECT mega kernel (shared
+    frames, (k, 0)-indexed state blocks) at the served geometry, against
+    per-object single-tracker runs of the same clip."""
+    key = (
+        "objects", jax.default_backend(), frame_shape, templ_shape, config,
+        interpret,
+    )
+    if key not in _SUPPORT_CACHE:
+        try:
+            g = MegaGeometry(frame_shape, templ_shape, config)
+            if not g.supported():
+                raise ValueError("geometry outside mega envelope")
+            rng = np.random.default_rng(13)
+            h, w = frame_shape
+            th, tw = templ_shape
+            frames = rng.integers(0, 256, (5, h, w), np.uint8)
+            from pvot.io.gray import gray_u8_to_f32
+            from pvot.tracker.state import init_state
+
+            states = []
+            for k in range(2):
+                x = (w - tw) // 2 + 3 * k
+                y = (h - th) // 2 - 2 * k
+                templ = jnp.asarray(
+                    gray_u8_to_f32(frames[0])[y : y + th, x : x + tw]
+                )
+                states.append(init_state(templ, (x, y, tw, th)))
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+            _, got = track_objects_mega(
+                frames[1:], stacked, config, chunk_size=4,
+                interpret=interpret, _probe=True,
+            )
+            for k in range(2):
+                _, want = track_video(
+                    frames[1:], states[k], config, strategy="fused",
+                    backend="pallas_shear", chunk_size=4,
+                )
+                if not (
+                    np.array_equal(want.bbox, got.bbox[:, k])
+                    and np.array_equal(want.updated, got.updated[:, k])
+                    and np.allclose(want.score, got.score[:, k], atol=1e-5)
+                ):
+                    raise ValueError(
+                        f"mega objects probe mismatch (object {k}): "
+                        f"{got.bbox[:, k].tolist()} vs {want.bbox.tolist()}"
+                    )
+            ok = True
+        except Exception:
+            import traceback
+
+            _SUPPORT_CACHE["last_error"] = traceback.format_exc()
+            ok = False
+        if not ok:
+            import sys
+
+            print(
+                "pvot: multi-object mega kernel unavailable at geometry "
+                f"frame={frame_shape} templ={templ_shape} "
+                "(probe failed); falling back to the vmapped scan step",
+                file=sys.stderr,
+            )
+        _SUPPORT_CACHE[key] = ok
+    return _SUPPORT_CACHE[key]
+
+
+def track_objects_mega(
+    frames: np.ndarray,
+    states: TrackerState,
+    config: TrackerConfig = TrackerConfig(),
+    chunk_size: int = 256,
+    scan_backend: str = "pallas_shear",
+    interpret: bool = False,
+    _probe: bool = False,
+) -> Tuple[TrackerState, StepOutput]:
+    """Track K objects through ONE pre-decoded uint8 clip (F, H, W) on the
+    multi-object mega path: every chunk runs all K trackers in ONE
+    pallas_call (grid (K, F), shared frames — the reference's 150% stretch
+    goal, SURVEY.md §2e, at mega-kernel rates instead of the vmapped scan
+    step's).  `states` is a stacked TrackerState (leading K axis,
+    pvot.parallel.multi.init_multi_state layout).  Returns (final stacked
+    states, StepOutput with the (F, K) leading layout —
+    track_video_multi's convention).  Poison (global-search) semantics are
+    per object: only the poisoned object re-runs its chunk on the scan
+    path from its chunk-start snapshot; because every object reads the
+    same clip, the fallback is the single-object driver per poisoned
+    object.
+    """
+    frames = np.asarray(frames)
+    if frames.ndim != 3:
+        raise ValueError(f"expected (F, H, W) frames, got {frames.shape}")
+    f, h, w = frames.shape
+    k_objects = int(np.shape(states.t_mean)[0])
+    th, tw = states.template.shape[-2:]
+    g = MegaGeometry((h, w), (th, tw), config)
+    if f == 0 or frames.dtype != np.uint8 or not g.supported() or (
+        not _probe
+        and not mega_objects_supported(
+            (h, w), (th, tw), config, interpret=interpret
+        )
+    ):
+        from pvot.parallel.multi import track_video_multi
+
+        return track_video_multi(
+            frames, states, config, strategy="fused", backend=scan_backend,
+            chunk_size=chunk_size,
+        )
+
+    cs = min(chunk_size, f)
+    num_chunks = -(-f // cs)
+    extract = jax.jit(jax.vmap(_state_from_chunk))
+
+    # Optimistic pass: enqueue every chunk, ONE packed record fetch;
+    # poisoned objects roll back from their chunk-start snapshots.
+    snapshots = []
+    rows_chunks = []
+    st = states
+    for j in range(num_chunks):
+        chunk = frames[j * cs : (j + 1) * cs]
+        n_real = chunk.shape[0]
+        if n_real < cs:
+            pad = np.repeat(chunk[-1:], cs - n_real, axis=0)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        snapshots.append(st)
+        rows, tplout = mega_track_chunk_objects(
+            jax.device_put(chunk),
+            jnp.stack(
+                [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
+            ).astype(jnp.int32),
+            st.template,
+            st.t_mean,
+            st.t_std,
+            st.lost_count,
+            st.use_global,
+            jnp.full((k_objects,), n_real, jnp.int32),
+            frame_shape=(h, w),
+            templ_shape=(th, tw),
+            config=config,
+            interpret=interpret,
+        )
+        st = extract(rows, tplout)
+        rows_chunks.append(rows)
+    packed = jnp.concatenate(rows_chunks, axis=1)  # (K, num_chunks*cs, TX)
+    packed.copy_to_host_async()
+    host = np.asarray(packed)  # the single fetch
+
+    final_states = [None] * k_objects
+    object_outs = [None] * k_objects
+    for k in range(k_objects):
+        chunks_out = []
+        poisoned_at = None
+        for j in range(num_chunks):
+            n_real = min(cs, f - j * cs)
+            rs = host[k, j * cs : j * cs + n_real]
+            if (rs[:, O_POISON] != 0.0).any():
+                poisoned_at = j
+                break
+            chunks_out.append(_rows_to_output(rs))
+        if poisoned_at is None:
+            final_states[k] = jax.tree.map(lambda a, _k=k: a[_k], st)
+        else:
+            snap = jax.tree.map(
+                lambda a, _k=k: a[_k], snapshots[poisoned_at]
+            )
+            fs, out = track_video_mega(
+                frames[poisoned_at * cs :], snap, config, chunk_size=cs,
+                scan_backend=scan_backend, interpret=interpret,
+            )
+            final_states[k] = fs
+            chunks_out.append(out)
+        object_outs[k] = StepOutput(
+            *(np.concatenate(xs) for xs in zip(*chunks_out))
+        )
+    final = jax.tree.map(lambda *xs: jnp.stack(xs), *final_states)
+    return final, StepOutput(
+        *(np.stack(xs, axis=1) for xs in zip(*object_outs))
     )

@@ -386,3 +386,136 @@ def test_mega_f32_frames_fallback():
         interpret=True,
     )
     _assert_equal(want, got)
+
+
+def test_mega_multi_object_matches_per_object():
+    """The multi-object mega kernel (grid (K, F), SHARED frames): each
+    object's trajectory through one clip must exactly match a lone
+    tracker with the same template — per-object slab DMA out of the same
+    frame, per-object (k, 0)-indexed state re-seed."""
+    import itertools
+
+    import jax
+
+    from pvot.io.synthetic import generate_gray_frames
+    from pvot.tracker.mega import track_objects_mega
+
+    # One clip, three trackers: the real moving target plus two STATIC
+    # high-contrast patches stamped into every frame.  (Patches of the
+    # bare synthetic background are NCC-degenerate — smooth bilinear
+    # field, argmax decided inside the engines' ~1e-5 reduction-order
+    # noise — so the stamps keep every lane's peak decisive.)
+    spec = SyntheticSpec(
+        width=250, height=94, num_frames=120, target_w=16, target_h=16,
+        seed=3, noise_std=1.0,
+    )
+    frames = np.stack(list(itertools.islice(generate_gray_frames(spec), 14)))
+    rng = np.random.default_rng(21)
+    for sx, sy in ((10, 10), (200, 60)):
+        frames[:, sy : sy + 16, sx : sx + 16] = rng.integers(
+            0, 256, (16, 16), np.uint8
+        )
+    x, y, w, h = target_bbox(spec, 0)
+    rois = [(x, y, w, h), (10, 10, 16, 16), (200, 60, 16, 16)]
+    states = [
+        init_state(
+            jnp.asarray(gray_u8_to_f32(frames[0])[ry : ry + rh, rx : rx + rw]),
+            (rx, ry, rw, rh),
+        )
+        for rx, ry, rw, rh in rois
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    got_states, got = track_objects_mega(
+        frames[1:], stacked, CONFIG, chunk_size=4, scan_backend="xla",
+        interpret=True, _probe=True,
+    )
+    assert got.bbox.shape == (13, 3, 4)
+    for k in range(3):
+        want_state, want = track_video(
+            frames[1:], states[k], CONFIG, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        np.testing.assert_array_equal(want.bbox, got.bbox[:, k])
+        np.testing.assert_array_equal(want.updated, got.updated[:, k])
+        np.testing.assert_allclose(want.score, got.score[:, k], atol=1e-5)
+        assert int(got_states.bbox_x[k]) == int(want_state.bbox_x)
+        np.testing.assert_allclose(
+            np.asarray(got_states.template[k]),
+            np.asarray(want_state.template), atol=1e-6,
+        )
+
+
+def test_mega_multi_object_per_object_poison():
+    """An object that leaves the frame poisons and re-runs ONLY its own
+    lane; the other object's mega records commit untouched."""
+    import itertools
+
+    import jax
+
+    from pvot.io.synthetic import generate_gray_frames
+    from pvot.tracker.mega import track_objects_mega
+
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    # The clip's real target exits and re-enters (object 1 goes global);
+    # object 0 tracks a distinctive STATIC patch stamped into every frame
+    # (see test_mega_multi_object_matches_per_object for why the bare
+    # background is not usable as a clean lane).
+    spec = SyntheticSpec(
+        width=250, height=94, num_frames=18, target_w=16, target_h=16,
+        seed=5, exit_and_reenter=True,
+    )
+    frames = np.stack(list(itertools.islice(generate_gray_frames(spec), 18)))
+    rng = np.random.default_rng(22)
+    frames[:, 10:26, 10:26] = rng.integers(0, 256, (16, 16), np.uint8)
+    x, y, w, h = target_bbox(spec, 0)
+    rois = [(10, 10, 16, 16), (x, y, w, h)]
+    states = [
+        init_state(
+            jnp.asarray(gray_u8_to_f32(frames[0])[ry : ry + rh, rx : rx + rw]),
+            (rx, ry, rw, rh),
+        )
+        for rx, ry, rw, rh in rois
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    got_states, got = track_objects_mega(
+        frames[1:], stacked, config, chunk_size=4, scan_backend="xla",
+        interpret=True, _probe=True,
+    )
+    assert got.used_global[:, 1].any(), "lost object must go global"
+    assert not got.used_global[:, 0].any()
+    for k in range(2):
+        want_state, want = track_video(
+            frames[1:], states[k], config, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        np.testing.assert_array_equal(want.bbox, got.bbox[:, k])
+        np.testing.assert_array_equal(
+            want.used_global, got.used_global[:, k]
+        )
+        np.testing.assert_allclose(want.score, got.score[:, k], atol=1e-5)
+        assert int(got_states.bbox_x[k]) == int(want_state.bbox_x)
+
+
+def test_mega_multi_object_scan_fallback():
+    """Outside the mega envelope track_objects_mega falls back to the
+    vmapped multi-object scan step with the same (F, K) contract."""
+    import jax
+
+    from pvot.tracker.mega import track_objects_mega
+
+    config = TrackerConfig(search_radius_x=70, search_radius_y=8)
+    frames, state = _setup(SPEC)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[state, state])
+    got_states, got = track_objects_mega(
+        frames[1:], stacked, config, chunk_size=4, scan_backend="xla",
+        interpret=True,
+    )
+    want_state, want = track_video(
+        frames[1:], state, config, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    for k in range(2):
+        np.testing.assert_array_equal(want.bbox, got.bbox[:, k])
+        np.testing.assert_allclose(want.score, got.score[:, k], atol=1e-5)
