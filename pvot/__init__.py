@@ -53,4 +53,8 @@ def __getattr__(name):  # lazy heavyweight entry points
         from pvot.io.serving import serve_streams
 
         return serve_streams
+    if name == "serve_objects":
+        from pvot.io.serving import serve_objects
+
+        return serve_objects
     raise AttributeError(f"module 'pvot' has no attribute {name!r}")

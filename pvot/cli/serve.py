@@ -197,15 +197,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         return _run_serving(args, feeds, states, frame_shape, (tw, th),
                             closers)
 
-    # --- ROIs: one shared, one per stream, or synthetic defaults -----------
+    # --- ROIs: one shared, one per stream, or synthetic defaults.  With a
+    # SINGLE stream, several --roi flags switch to multi-object mode: K
+    # trackers over the one stream (the multi-object mega kernel). ---------
+    objects_mode = False
     if args.roi:
         rois = [_parse_roi(t) for t in args.roi]
-        if len(rois) == 1:
+        if n_streams == 1 and len(rois) > 1:
+            objects_mode = True
+        elif len(rois) == 1:
             rois = rois * n_streams
         elif len(rois) != n_streams:
             print(
                 f"Got {len(rois)} --roi for {n_streams} streams "
-                "(give one, or one per stream)",
+                "(give one, or one per stream; several --roi on ONE "
+                "stream = multi-object mode)",
                 file=sys.stderr,
             )
             return 2
@@ -231,14 +237,91 @@ def main(argv: Optional[List[str]] = None) -> int:
                 file=sys.stderr,
             )
             return 2
+    template_firsts = [firsts[0]] * len(rois) if objects_mode else firsts
     templates = [
         jnp.asarray(gray_u8_to_f32(first)[y : y + rh, x : x + rw])
-        for first, (x, y, rw, rh) in zip(firsts, rois)
+        for first, (x, y, rw, rh) in zip(template_firsts, rois)
     ]
     states = init_multi_state(templates, rois)
+    if objects_mode:
+        return _run_objects(
+            args, feeds[0], states, frame_shape,
+            (rois[0][2], rois[0][3]), closers,
+        )
     return _run_serving(
         args, feeds, states, frame_shape, (rois[0][2], rois[0][3]), closers
     )
+
+
+def _run_objects(args, feed, states, frame_shape, templ_wh, closers) -> int:
+    """Multi-object serving: K trackers over one stream
+    (pvot.serve_objects — the multi-object mega kernel with per-object
+    transactional rollback)."""
+    from pvot.io.serving import serve_objects
+
+    k = int(np.shape(states.t_mean)[0])
+    config = TrackerConfig(
+        **(
+            {"search_radius_x": args.search_radius,
+             "search_radius_y": args.search_radius}
+            if args.search_radius is not None else {}
+        )
+    ).validate()
+    print(f"Serving 1 stream x {k} objects at "
+          f"{frame_shape[1]}x{frame_shape[0]}, template "
+          f"{templ_wh[0]}x{templ_wh[1]}, chunk {args.chunk_size}, "
+          f"tier {'fast' if args.fast else 'highest'}")
+    timings: list = []
+    t0 = time.perf_counter()
+    final, out = serve_objects(
+        feed, states, frame_shape, config,
+        scan_backend=args.scan_backend,
+        chunk_size=args.chunk_size, timings=timings,
+        highest=not args.fast, pipeline_depth=args.pipeline_depth,
+        prepad=not args.no_prepad,
+    )
+    elapsed = time.perf_counter() - t0
+    for c in closers:
+        c.close()
+
+    n = out.bbox.shape[0]
+    for i in range(k):
+        score = float(np.mean(out.score[:, i])) if n else float("nan")
+        print(
+            f"object {i}: frames={n}, updated={int(out.updated[:, i].sum())}, "
+            f"global={int(out.used_global[:, i].sum())}, "
+            f"mean_score={score:.4f}, "
+            f"final_bbox={out.bbox[-1, i].tolist() if n else None}"
+        )
+    rate = n * k / elapsed if elapsed > 0 else 0.0
+    print(
+        f"Serving summary: objects={k}, frames={n}, "
+        f"time={elapsed:.6g} s, object-updates/s={rate:.6g}"
+    )
+
+    if args.trajectory_out:
+        import json
+
+        for i in range(k):
+            path = f"{args.trajectory_out}.o{i}.jsonl"
+            with open(path, "w") as f:
+                for j in range(n):
+                    f.write(json.dumps({
+                        "object": i,
+                        "frame": 1 + j,
+                        "bbox": np.asarray(out.bbox[j, i]).tolist(),
+                        "score": round(float(out.score[j, i]), 6),
+                        "used_global": bool(out.used_global[j, i]),
+                        "updated": bool(out.updated[j, i]),
+                    }) + "\n")
+        print(f"Trajectories written: {args.trajectory_out}.o*.jsonl")
+
+    if args.checkpoint_out:
+        from pvot.utils.checkpoint import save_state
+
+        saved_path = save_state(args.checkpoint_out, final)
+        print(f"Checkpoint saved: {saved_path} ({k} object states)")
+    return 0
 
 
 def _run_serving(args, feeds, states, frame_shape, templ_wh, closers) -> int:

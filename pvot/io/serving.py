@@ -421,6 +421,230 @@ def _serve_streams_mega(
     return st, [_stack_outputs(o) for o in outs]
 
 
+def serve_objects(
+    frame_iter: Iterable[np.ndarray],
+    states,
+    frame_shape: Tuple[int, int],
+    config=None,
+    backend: str = "mega",
+    scan_backend: str = "pallas_shear",
+    chunk_size: int = 32,
+    timings: Optional[list] = None,
+    highest: bool = True,
+    pipeline_depth: int = 2,
+    prepad: bool = True,
+    interpret: bool = False,
+    _probe: bool = False,
+):
+    """Serve ONE live frame stream with K trackers end to end — the
+    multi-object analog of serve_streams: a single decode thread, every
+    chunk through the multi-object mega kernel (grid (K, F), shared
+    frames; pvot.ops.ncc_mega.mega_track_chunk_objects), depth-N chunk
+    pipelining, and per-object transactional poison rollback (a lane
+    that enters a global-search branch re-runs its chunk on the
+    single-object scan path from its chunk-start snapshot; other lanes'
+    records commit untouched).
+
+    `states` is a stacked TrackerState (leading K axis).  Returns
+    (final stacked TrackerState, host StepOutput with the (F, K) leading
+    layout — all lanes share the stream's length).  Outside the mega
+    envelope — or on probe failure — falls back to the chunked vmapped
+    multi-object scan step (same contract)."""
+    import jax
+
+    from pvot.config import TrackerConfig
+
+    config = config or TrackerConfig()
+    h, w = frame_shape
+    th, tw = states.template.shape[-2:]
+
+    if backend == "mega":
+        from pvot.ops.ncc_mega import MegaGeometry
+        from pvot.tracker.mega import mega_objects_supported
+
+        g = MegaGeometry((h, w), (th, tw), config)
+        if g.supported() and (
+            _probe
+            or mega_objects_supported(
+                (h, w), (th, tw), config, interpret=interpret
+            )
+        ):
+            return _serve_objects_mega(
+                frame_iter, states, frame_shape, config, chunk_size,
+                timings, scan_backend, highest, interpret,
+                max(1, pipeline_depth), prepad,
+            )
+        backend = scan_backend
+
+    # Scan fallback: the vmapped multi-object step under a masked scan
+    # (all lanes share the stream's validity, so the plain per-frame mask
+    # suffices).
+    from pvot.parallel.multi import make_multi_step
+    from pvot.tracker.scan import (
+        _stack_outputs,
+        fetch_outputs,
+        make_masked_scan_fn,
+    )
+
+    step = make_multi_step(
+        (h, w), (th, tw), config, strategy="fused", backend=backend
+    )
+    scan_fn = make_masked_scan_fn(step)
+    pipe = FramePipeline(frame_iter, frame_shape, chunk_size=chunk_size)
+    outs = []
+    st = states
+    mark = time.perf_counter()
+    try:
+        for chunk, n_real in pipe.chunks():
+            valid = np.arange(chunk_size) < n_real
+            st, out = scan_fn(
+                st, jax.device_put(chunk), jax.device_put(valid)
+            )
+            outs.append(
+                fetch_outputs(jax.tree.map(lambda a: a[:n_real], out))
+            )
+            now = time.perf_counter()
+            if timings is not None:
+                timings.append((n_real, now - mark))
+            mark = now
+    finally:
+        pipe.close()
+    return st, _stack_outputs(outs)
+
+
+def _serve_objects_mega(
+    frame_iter,
+    states,
+    frame_shape,
+    config,
+    chunk_size: int,
+    timings: Optional[list],
+    scan_backend: str,
+    highest: bool,
+    interpret: bool,
+    depth: int,
+    prepad: bool,
+):
+    from collections import deque
+
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.ops.ncc_mega import (
+        MegaGeometry,
+        O_POISON,
+        mega_track_chunk_objects,
+    )
+    from pvot.tracker.mega import _rows_to_output, _state_from_chunk
+    from pvot.tracker.scan import track_video
+    from pvot.tracker.state import StepOutput
+
+    h, w = frame_shape
+    th, tw = states.template.shape[-2:]
+    k_objects = int(np.shape(states.t_mean)[0])
+    g = MegaGeometry((h, w), (th, tw), config)
+    extract = jax.jit(jax.vmap(_state_from_chunk))
+
+    pipe = FramePipeline(frame_iter, frame_shape, chunk_size=chunk_size)
+    stage_shape = (g.pad_h, g.pad_w) if prepad else (h, w)
+    free_bufs = [
+        np.zeros((chunk_size, *stage_shape), np.uint8)
+        for _ in range(depth + 1)
+    ]
+    inflight: deque = deque()
+    outs: List[list] = [[] for _ in range(k_objects)]
+    st = states
+    mark = time.perf_counter()
+
+    def dispatch(chunk, n_real, st):
+        buf = free_bufs.pop()
+        buf[:, :h, :w] = chunk
+        rows, tplout = mega_track_chunk_objects(
+            jax.device_put(buf),
+            jnp.stack(
+                [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
+            ).astype(jnp.int32),
+            st.template, st.t_mean, st.t_std,
+            st.lost_count, st.use_global,
+            jnp.full((k_objects,), n_real, jnp.int32),
+            frame_shape=(h, w), templ_shape=(th, tw), config=config,
+            interpret=interpret, highest=highest,
+        )
+        st_after = extract(rows, tplout)
+        rows.copy_to_host_async()
+        return {
+            "chunk": chunk,
+            "n_real": n_real,
+            "snapshot": st,
+            "st_after": st_after,
+            "rows": rows,
+            "buf": buf,
+        }
+
+    def drain(entry, fixed):
+        nonlocal mark
+        host = np.asarray(entry["rows"])
+        free_bufs.append(entry["buf"])
+        n = entry["n_real"]
+        for k in range(k_objects):
+            rs = host[k, :n]
+            if k in fixed:
+                start = fixed[k]
+            elif (rs[:, O_POISON] != 0.0).any():
+                start = jax.tree.map(
+                    lambda a, _k=k: np.asarray(a[_k]), entry["snapshot"]
+                )
+            else:
+                outs[k].append(_rows_to_output(rs))
+                continue
+            fs, out = track_video(
+                np.asarray(entry["chunk"][:n]), start, config,
+                strategy="fused", backend=scan_backend,
+                chunk_size=chunk_size,
+            )
+            outs[k].append(out)
+            fixed[k] = jax.tree.map(np.asarray, fs)
+        now = time.perf_counter()
+        if timings is not None:
+            timings.append((n, now - mark))
+        mark = now
+        return fixed
+
+    def apply_fixed(st, fixed):
+        for k, fs in fixed.items():
+            st = jax.tree.map(lambda a, b, _k=k: a.at[_k].set(b), st, fs)
+        return st
+
+    try:
+        for chunk, n_real in pipe.chunks():
+            entry = dispatch(chunk, n_real, st)
+            st = entry["st_after"]
+            inflight.append(entry)
+            if len(inflight) >= depth:
+                fixed = drain(inflight.popleft(), {})
+                if fixed:
+                    while inflight:
+                        fixed = drain(inflight.popleft(), fixed)
+                    st = apply_fixed(st, fixed)
+        fixed = {}
+        while inflight:
+            fixed = drain(inflight.popleft(), fixed)
+        st = apply_fixed(st, fixed)
+    finally:
+        pipe.close()
+    per_object = [
+        StepOutput(*(np.concatenate(xs) for xs in zip(*o))) if o else None
+        for o in outs
+    ]
+    if any(o is None for o in per_object):
+        from pvot.tracker.scan import _stack_outputs
+
+        return st, _stack_outputs([])
+    return st, StepOutput(
+        *(np.stack(xs, axis=1) for xs in zip(*per_object))
+    )
+
+
 def _serve_streams_scan(
     frame_iters,
     states,

@@ -309,6 +309,142 @@ def test_serve_cli_checkpoint_resume(tmp_path, capsys):
     capsys.readouterr()
 
 
+def _make_objects_clip(n_frames=17, exit_and_reenter=False):
+    """One clip + K decisive trackables: the moving target plus a
+    distinctive STATIC patch stamped into every frame (bare-background
+    patches are NCC-degenerate; see tests/test_mega.py)."""
+    import itertools
+
+    from pvot.io.synthetic import generate_gray_frames
+
+    spec = SyntheticSpec(
+        width=250, height=94, num_frames=120 if not exit_and_reenter else 18,
+        target_w=16, target_h=16, seed=3 if not exit_and_reenter else 5,
+        noise_std=1.0 if not exit_and_reenter else 2.0,
+        exit_and_reenter=exit_and_reenter,
+    )
+    frames = np.stack(
+        list(itertools.islice(generate_gray_frames(spec), n_frames + 1))
+    )
+    rng = np.random.default_rng(23)
+    frames[:, 10:26, 10:26] = rng.integers(0, 256, (16, 16), np.uint8)
+    x, y, w, h = target_bbox(spec, 0)
+    rois = [(10, 10, 16, 16), (x, y, w, h)]
+    states = [
+        init_state(
+            jnp.asarray(gray_u8_to_f32(frames[0])[ry : ry + rh, rx : rx + rw]),
+            (rx, ry, rw, rh),
+        )
+        for rx, ry, rw, rh in rois
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    return frames, states, stacked
+
+
+@pytest.mark.parametrize("depth", [1, 2])
+def test_serve_objects_mega_interpret(depth):
+    """Streaming multi-object serving (serve_objects, mega path): K
+    trackers over one live stream, (F, K) output, each lane equal to a
+    lone tracker over the same clip."""
+    from pvot.io.serving import serve_objects
+
+    frames, states, stacked = _make_objects_clip(n_frames=13)
+    timings: list = []
+    final, out = serve_objects(
+        iter(frames[1:]), stacked, (94, 250), CONFIG,
+        backend="mega", scan_backend="xla", chunk_size=4,
+        timings=timings, pipeline_depth=depth, interpret=True, _probe=True,
+    )
+    assert out.bbox.shape == (13, 2, 4)
+    assert sum(n for n, _ in timings) == 13
+    for k in range(2):
+        want_state, want = track_video(
+            frames[1:], states[k], CONFIG, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        np.testing.assert_array_equal(want.bbox, out.bbox[:, k])
+        np.testing.assert_array_equal(want.updated, out.updated[:, k])
+        np.testing.assert_allclose(want.score, out.score[:, k], atol=1e-5)
+        assert int(final.bbox_x[k]) == int(want_state.bbox_x)
+
+
+def test_serve_objects_mega_poison_and_wire_staging():
+    """A lane that goes global poisons and re-runs only itself (the
+    static-patch lane's mega records commit untouched); wire-size staging
+    is bit-identical to pre-padded."""
+    from pvot.io.serving import serve_objects
+
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    frames, states, stacked = _make_objects_clip(
+        n_frames=17, exit_and_reenter=True
+    )
+    runs = []
+    for prepad in (True, False):
+        final, out = serve_objects(
+            iter(frames[1:]), stacked, (94, 250), config,
+            backend="mega", scan_backend="xla", chunk_size=4,
+            prepad=prepad, interpret=True, _probe=True,
+        )
+        runs.append((final, out))
+    (fa, oa), (fb, ob) = runs
+    np.testing.assert_array_equal(oa.bbox, ob.bbox)
+    np.testing.assert_array_equal(oa.score, ob.score)
+    assert oa.used_global[:, 1].any(), "lost lane must go global"
+    assert not oa.used_global[:, 0].any()
+    for k in range(2):
+        want_state, want = track_video(
+            frames[1:], states[k], config, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        np.testing.assert_array_equal(want.bbox, oa.bbox[:, k])
+        np.testing.assert_array_equal(want.used_global, oa.used_global[:, k])
+        assert int(fa.bbox_x[k]) == int(want_state.bbox_x)
+
+
+def test_serve_objects_scan_fallback():
+    """Outside the mega envelope serve_objects serves on the vmapped
+    multi-object scan step with the same (F, K) contract."""
+    from pvot.io.serving import serve_objects
+
+    config = TrackerConfig(search_radius_x=70, search_radius_y=8)
+    frames, states, stacked = _make_objects_clip(n_frames=9)
+    final, out = serve_objects(
+        iter(frames[1:]), stacked, (94, 250), config,
+        backend="mega", scan_backend="xla", chunk_size=4,
+    )
+    assert out.bbox.shape == (9, 2, 4)
+    for k in range(2):
+        _, want = track_video(
+            frames[1:], states[k], config, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        np.testing.assert_array_equal(want.bbox, out.bbox[:, k])
+        np.testing.assert_allclose(want.score, out.score[:, k], atol=1e-5)
+
+
+def test_serve_cli_objects_mode(tmp_path, capsys):
+    """One video + several --roi = multi-object serving via the CLI."""
+    import json
+
+    from pvot.cli.serve import main
+
+    rc = main([
+        "--synthetic", "320x240x10", "--streams", "1", "--chunk-size", "4",
+        "--search-radius", "24",
+        "--roi", "120,80,40,40", "--roi", "40,30,40,40",
+        "--trajectory-out", str(tmp_path / "t"),
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Serving 1 stream x 2 objects" in text
+    assert "Serving summary: objects=2, frames=9" in text
+    lines = (tmp_path / "t.o1.jsonl").read_text().splitlines()
+    assert len(lines) == 9
+    assert json.loads(lines[0])["object"] == 1
+
+
 def test_serve_cli_arg_errors(capsys):
     import pytest as _pytest
 
