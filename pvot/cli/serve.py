@@ -71,6 +71,12 @@ def parse_args(argv: List[str]):
              "bandwidth; default pre-pads on the host, which is faster "
              "on-device — see pvot.serve_streams)",
     )
+    p.add_argument(
+        "--devices", type=int, default=0, metavar="N",
+        help="fan stream groups over the first N local devices "
+             "(host-driven data parallelism, bit-identical results; "
+             "0 = default device only)",
+    )
     p.add_argument("--search-radius", type=int, default=None)
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument(
@@ -336,9 +342,15 @@ def _run_serving(args, feeds, states, frame_shape, templ_wh, closers) -> int:
         )
     ).validate()
 
+    devices = None
+    if args.devices > 0:
+        import jax
+
+        devices = jax.devices()[: args.devices]
     print(f"Serving {n_streams} streams at {frame_shape[1]}x{frame_shape[0]}, "
           f"template {templ_wh[0]}x{templ_wh[1]}, chunk {args.chunk_size}, "
-          f"tier {'fast' if args.fast else 'highest'}")
+          f"tier {'fast' if args.fast else 'highest'}"
+          + (f", {len(devices)} devices" if devices else ""))
     timings: list = []
     t0 = time.perf_counter()
     final, outs = serve_streams(
@@ -346,7 +358,7 @@ def _run_serving(args, feeds, states, frame_shape, templ_wh, closers) -> int:
         scan_backend=args.scan_backend,
         chunk_size=args.chunk_size, timings=timings,
         highest=not args.fast, pipeline_depth=args.pipeline_depth,
-        prepad=not args.no_prepad,
+        prepad=not args.no_prepad, devices=devices,
     )
     elapsed = time.perf_counter() - t0
     for c in closers:

@@ -445,6 +445,21 @@ def test_serve_cli_objects_mode(tmp_path, capsys):
     assert json.loads(lines[0])["object"] == 1
 
 
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs 2 virtual devices")
+def test_serve_cli_devices_flag(capsys):
+    """--devices N fans the streams over N local devices from the CLI."""
+    from pvot.cli.serve import main
+
+    rc = main([
+        "--synthetic", "320x240x8", "--streams", "2", "--chunk-size", "4",
+        "--search-radius", "24", "--devices", "2",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "2 devices" in text
+    assert "Serving summary: streams=2, frames=14" in text
+
+
 def test_serve_cli_arg_errors(capsys):
     import pytest as _pytest
 
