@@ -60,7 +60,7 @@ _LABELS = {
     "mode_cuda_720p": "mode `--cuda`/naive (MXU matmul engine, HIGHEST)",
     "mode_fast_720p": "mode `--fast` (matmul engine, precision=HIGH)",
     "mode_shared_720p": "mode `--shared/--const/--const_tiled` (Pallas)",
-    "mega_720p": "720p mega-kernel (`--mega`, 512-frame suite run)",
+    "mega_720p": "720p mega-kernel (`--mega` suite row)",
 }
 
 
