@@ -192,6 +192,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         states = load_state(args.resume)
         saved = int(np.shape(states.t_mean)[0]) if np.ndim(states.t_mean) else 1
+        th, tw = np.shape(states.template)[-2:]
+        if n_streams == 1 and saved > 1:
+            # A K-object checkpoint over one stream resumes objects mode.
+            return _run_objects(args, feeds[0], states, frame_shape,
+                                (tw, th), closers)
         if saved != n_streams:
             print(
                 f"--resume checkpoint holds {saved} stream states for "
@@ -199,7 +204,6 @@ def main(argv: Optional[List[str]] = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        th, tw = np.shape(states.template)[-2:]
         return _run_serving(args, feeds, states, frame_shape, (tw, th),
                             closers)
 

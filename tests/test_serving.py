@@ -424,6 +424,29 @@ def test_serve_objects_scan_fallback():
         np.testing.assert_allclose(want.score, out.score[:, k], atol=1e-5)
 
 
+def test_serve_cli_objects_checkpoint_resume(tmp_path, capsys):
+    """A K-object --checkpoint-out resumes in objects mode on one stream."""
+    from pvot.cli.serve import main
+
+    ckpt = str(tmp_path / "objck")
+    rc = main([
+        "--synthetic", "320x240x8", "--streams", "1", "--chunk-size", "4",
+        "--search-radius", "24",
+        "--roi", "120,80,40,40", "--roi", "40,30,40,40",
+        "--checkpoint-out", ckpt,
+    ])
+    assert rc == 0
+    assert "Checkpoint saved" in capsys.readouterr().out
+    rc = main([
+        "--synthetic", "320x240x8", "--streams", "1", "--chunk-size", "4",
+        "--search-radius", "24", "--resume", ckpt + ".npz",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Serving 1 stream x 2 objects" in text
+    assert "Serving summary: objects=2, frames=8" in text
+
+
 def test_serve_cli_objects_mode(tmp_path, capsys):
     """One video + several --roi = multi-object serving via the CLI."""
     import json
