@@ -190,8 +190,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.resume:
         from pvot.utils.checkpoint import load_state
 
+        if args.roi:
+            print(
+                "--roi and --resume are mutually exclusive: templates and "
+                "boxes come from the checkpoint",
+                file=sys.stderr,
+            )
+            return 2
         states = load_state(args.resume)
-        saved = int(np.shape(states.t_mean)[0]) if np.ndim(states.t_mean) else 1
+        if np.ndim(states.t_mean) == 0:
+            # A single-object checkpoint (saved by the pvot CLI, unstacked
+            # scalar leaves): serve it as a one-lane stacked state.
+            import jax
+
+            states = jax.tree.map(lambda a: np.asarray(a)[None], states)
+        saved = int(np.shape(states.t_mean)[0])
         th, tw = np.shape(states.template)[-2:]
         if n_streams == 1 and saved > 1:
             # A K-object checkpoint over one stream resumes objects mode.
@@ -283,16 +296,18 @@ def _run_objects(args, feed, states, frame_shape, templ_wh, closers) -> int:
           f"tier {'fast' if args.fast else 'highest'}")
     timings: list = []
     t0 = time.perf_counter()
-    final, out = serve_objects(
-        feed, states, frame_shape, config,
-        scan_backend=args.scan_backend,
-        chunk_size=args.chunk_size, timings=timings,
-        highest=not args.fast, pipeline_depth=args.pipeline_depth,
-        prepad=not args.no_prepad,
-    )
-    elapsed = time.perf_counter() - t0
-    for c in closers:
-        c.close()
+    try:
+        final, out = serve_objects(
+            feed, states, frame_shape, config,
+            scan_backend=args.scan_backend,
+            chunk_size=args.chunk_size, timings=timings,
+            highest=not args.fast, pipeline_depth=args.pipeline_depth,
+            prepad=not args.no_prepad,
+        )
+        elapsed = time.perf_counter() - t0
+    finally:  # decoder handles must not leak if a stream raises mid-serve
+        for c in closers:
+            c.close()
 
     n = out.bbox.shape[0]
     for i in range(k):
@@ -357,16 +372,18 @@ def _run_serving(args, feeds, states, frame_shape, templ_wh, closers) -> int:
           + (f", {len(devices)} devices" if devices else ""))
     timings: list = []
     t0 = time.perf_counter()
-    final, outs = serve_streams(
-        feeds, states, frame_shape, config,
-        scan_backend=args.scan_backend,
-        chunk_size=args.chunk_size, timings=timings,
-        highest=not args.fast, pipeline_depth=args.pipeline_depth,
-        prepad=not args.no_prepad, devices=devices,
-    )
-    elapsed = time.perf_counter() - t0
-    for c in closers:
-        c.close()
+    try:
+        final, outs = serve_streams(
+            feeds, states, frame_shape, config,
+            scan_backend=args.scan_backend,
+            chunk_size=args.chunk_size, timings=timings,
+            highest=not args.fast, pipeline_depth=args.pipeline_depth,
+            prepad=not args.no_prepad, devices=devices,
+        )
+        elapsed = time.perf_counter() - t0
+    finally:  # decoder handles must not leak if a stream raises mid-serve
+        for c in closers:
+            c.close()
 
     total = 0
     for s, out in enumerate(outs):

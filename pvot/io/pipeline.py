@@ -185,7 +185,10 @@ def track_stream(
     if backend == "mega":
         from pvot.tracker.mega import mega_supported
 
-        if mega_supported((h, w), (th, tw), config):
+        # The mega kernel implements exactly the fused local-search
+        # strategy; other strategies (e.g. "full") run on the scan engines
+        # instead of silently changing semantics.
+        if strategy == "fused" and mega_supported((h, w), (th, tw), config):
             return _track_stream_mega(
                 frame_iter, state, frame_shape, config, chunk_size, timings
             )

@@ -74,6 +74,18 @@ class _StreamFeed:
         self.pipe.close()
 
 
+def _empty_objects_output(k_objects: int):
+    """A zero-frame StepOutput in serve_objects' documented (F, K) layout."""
+    from pvot.tracker.state import StepOutput
+
+    return StepOutput(
+        bbox=np.zeros((0, k_objects, 4), np.int32),
+        score=np.zeros((0, k_objects), np.float32),
+        used_global=np.zeros((0, k_objects), bool),
+        updated=np.zeros((0, k_objects), bool),
+    )
+
+
 def serve_streams(
     frame_iters: Sequence[Iterable[np.ndarray]],
     states,
@@ -478,14 +490,13 @@ def serve_objects(
 
     # Scan fallback: the vmapped multi-object step under a masked scan
     # (all lanes share the stream's validity, so the plain per-frame mask
-    # suffices).
+    # suffices).  Chunk fetches overlap one chunk deep, like every sibling
+    # driver here: pack on device, fetch async, drain one chunk late.
     from pvot.parallel.multi import make_multi_step
-    from pvot.tracker.scan import (
-        _stack_outputs,
-        fetch_outputs,
-        make_masked_scan_fn,
-    )
+    from pvot.tracker.scan import _pack_outputs, make_masked_scan_fn
+    from pvot.tracker.state import StepOutput
 
+    k_objects = int(np.shape(states.t_mean)[0])
     step = make_multi_step(
         (h, w), (th, tw), config, strategy="fused", backend=backend
     )
@@ -493,23 +504,44 @@ def serve_objects(
     pipe = FramePipeline(frame_iter, frame_shape, chunk_size=chunk_size)
     outs = []
     st = states
+    pending = None  # (device packed outs (C, K, 7), n_real)
     mark = time.perf_counter()
+
+    def drain(entry):
+        nonlocal mark
+        packed, n = entry
+        host = np.asarray(packed)[:n]  # (n, K, 7)
+        outs.append(
+            StepOutput(
+                bbox=host[..., 0:4].astype(np.int32),
+                score=host[..., 4].copy(),
+                used_global=host[..., 5] != 0.0,
+                updated=host[..., 6] != 0.0,
+            )
+        )
+        now = time.perf_counter()
+        if timings is not None:
+            timings.append((n, now - mark))
+        mark = now
+
     try:
         for chunk, n_real in pipe.chunks():
             valid = np.arange(chunk_size) < n_real
             st, out = scan_fn(
                 st, jax.device_put(chunk), jax.device_put(valid)
             )
-            outs.append(
-                fetch_outputs(jax.tree.map(lambda a: a[:n_real], out))
-            )
-            now = time.perf_counter()
-            if timings is not None:
-                timings.append((n_real, now - mark))
-            mark = now
+            packed = _pack_outputs(out)
+            packed.copy_to_host_async()
+            if pending is not None:
+                drain(pending)
+            pending = (packed, n_real)
+        if pending is not None:
+            drain(pending)
     finally:
         pipe.close()
-    return st, _stack_outputs(outs)
+    if not outs:
+        return st, _empty_objects_output(k_objects)
+    return st, StepOutput(*(np.concatenate(xs) for xs in zip(*outs)))
 
 
 def _serve_objects_mega(
@@ -637,9 +669,10 @@ def _serve_objects_mega(
         for o in outs
     ]
     if any(o is None for o in per_object):
-        from pvot.tracker.scan import _stack_outputs
-
-        return st, _stack_outputs([])
+        # Zero frames served (all lanes share the one stream, so the lists
+        # are either all filled or all empty): keep the documented (F, K)
+        # layout, just with F = 0.
+        return st, _empty_objects_output(k_objects)
     return st, StepOutput(
         *(np.stack(xs, axis=1) for xs in zip(*per_object))
     )

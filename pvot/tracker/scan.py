@@ -170,15 +170,21 @@ def track_video(
     if frames.ndim != 3:
         raise ValueError(f"expected (F, H, W) frames, got {frames.shape}")
     if backend == "mega" and step is None:
-        # The mega-kernel is a chunk-level driver, not a per-frame engine;
-        # route to it (it falls back here — with the shear scan engine —
-        # when the geometry/dtype is outside its envelope or its probe
-        # fails).
-        from pvot.tracker.mega import track_video_mega
+        if strategy == "fused":
+            # The mega-kernel is a chunk-level driver, not a per-frame
+            # engine; route to it (it falls back here — with the shear scan
+            # engine — when the geometry/dtype is outside its envelope or
+            # its probe fails).
+            from pvot.tracker.mega import track_video_mega
 
-        return track_video_mega(
-            frames, state, config, chunk_size=chunk_size
-        )
+            return track_video_mega(
+                frames, state, config, chunk_size=chunk_size
+            )
+        # The mega kernel implements exactly the fused local-search
+        # strategy; any other strategy (e.g. "full": full-map scoring
+        # every frame) runs on the scan engines instead of silently
+        # changing semantics.
+        backend = "pallas_shear"
     f, h, w = frames.shape
     th, tw = state.template.shape
     if step is not None:

@@ -247,6 +247,52 @@ def test_track_stream_backend_mega_fallback():
     _assert_equal(want, got)
 
 
+def test_track_video_mega_respects_strategy(monkeypatch):
+    """backend=\"mega\" with a non-fused strategy must NOT silently switch
+    semantics to the fused kernel: the requested strategy runs on the scan
+    engines (the pallas_shear chain) and the mega driver never fires."""
+    import pvot.tracker.mega as mega_mod
+
+    def boom(*a, **k):  # pragma: no cover - failure arm
+        raise AssertionError("mega driver must not run for strategy='full'")
+
+    monkeypatch.setattr(mega_mod, "track_video_mega", boom)
+    frames, state = _setup(SPEC)
+    want_state, want = track_video(
+        frames[1:], state, CONFIG, strategy="full", backend="pallas_shear",
+        chunk_size=4,
+    )
+    got_state, got = track_video(
+        frames[1:], state, CONFIG, strategy="full", backend="mega",
+        chunk_size=4,
+    )
+    _assert_equal(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+
+
+def test_track_stream_mega_respects_strategy(monkeypatch):
+    """track_stream(backend=\"mega\", strategy=\"full\") runs the full-map
+    strategy on the scan engines — the mega chunk driver never fires."""
+    import pvot.io.pipeline as pipeline_mod
+    from pvot.io.pipeline import track_stream
+
+    def boom(*a, **k):  # pragma: no cover - failure arm
+        raise AssertionError("mega driver must not run for strategy='full'")
+
+    monkeypatch.setattr(pipeline_mod, "_track_stream_mega", boom)
+    frames, state = _setup(SPEC)
+    want_state, want = track_stream(
+        iter(frames[1:]), state, (94, 250), CONFIG, strategy="full",
+        backend="pallas_shear", chunk_size=4,
+    )
+    got_state, got = track_stream(
+        iter(frames[1:]), state, (94, 250), CONFIG, strategy="full",
+        backend="mega", chunk_size=4,
+    )
+    _assert_equal(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+
+
 def test_cli_mega_flag_parses():
     from pvot.cli.main import parse_args
 

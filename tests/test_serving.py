@@ -424,6 +424,109 @@ def test_serve_objects_scan_fallback():
         np.testing.assert_allclose(want.score, out.score[:, k], atol=1e-5)
 
 
+def test_serve_objects_empty_stream_keeps_layout():
+    """Zero served frames still honor the documented (F, K) output layout
+    (F = 0) on BOTH serve_objects arms — mega and the scan fallback."""
+    from pvot.io.serving import serve_objects
+
+    _, _, stacked = _make_objects_clip(n_frames=3)
+    for kwargs in (
+        dict(backend="mega", interpret=True, _probe=True),  # mega arm
+        dict(  # scan-fallback arm (radius outside the mega envelope)
+            backend="mega", scan_backend="xla",
+            config=TrackerConfig(search_radius_x=70, search_radius_y=8),
+        ),
+    ):
+        kwargs.setdefault("config", CONFIG)
+        config = kwargs.pop("config")
+        final, out = serve_objects(
+            iter([]), stacked, (94, 250), config, chunk_size=4, **kwargs
+        )
+        assert out.bbox.shape == (0, 2, 4)
+        assert out.score.shape == (0, 2)
+        assert out.used_global.shape == (0, 2)
+        assert out.updated.shape == (0, 2)
+        np.testing.assert_array_equal(
+            np.asarray(final.bbox_x), np.asarray(stacked.bbox_x)
+        )
+
+
+def test_serve_cli_resume_rejects_roi(tmp_path, capsys):
+    """--roi and --resume conflict: templates come from the checkpoint."""
+    from pvot.cli.serve import main
+
+    rc = main([
+        "--synthetic", "320x240x4", "--streams", "1",
+        "--roi", "10,10,8,8", "--resume", str(tmp_path / "absent.npz"),
+    ])
+    assert rc == 2
+    assert "mutually exclusive" in capsys.readouterr().err
+
+
+def test_serve_cli_resume_single_object_checkpoint(tmp_path, capsys):
+    """A single-object checkpoint (scalar leaves, as the main pvot CLI
+    saves) resumes in pvot-serve as a one-lane stream."""
+    from pvot.cli.serve import main
+    from pvot.io.synthetic import generate_gray_frames
+    from pvot.tracker.state import init_state as init_single
+    from pvot.utils.checkpoint import save_state
+
+    # Template from the serve CLI's stream-0 synthetic spec (seed=1).
+    spec = SyntheticSpec(width=320, height=240, num_frames=8, seed=1)
+    first = next(generate_gray_frames(spec))
+    x, y, w, h = target_bbox(spec, 0)
+    templ = jnp.asarray(gray_u8_to_f32(first)[y : y + h, x : x + w])
+    state = init_single(templ, (x, y, w, h))
+    assert np.ndim(state.t_mean) == 0  # genuinely unstacked
+    path = save_state(str(tmp_path / "single"), state)
+
+    rc = main([
+        "--synthetic", "320x240x8", "--streams", "1", "--chunk-size", "4",
+        "--search-radius", "24", "--resume", path,
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Serving summary: streams=1, frames=8" in text
+
+
+def test_serve_cli_closes_decoders_on_error(monkeypatch):
+    """Decoder handles are closed even when serving raises mid-run —
+    in streams mode AND objects mode."""
+    import pvot.io.serving as serving_mod
+    import pvot.io.video as video_mod
+    from pvot.cli.serve import main
+
+    closed = []
+
+    class FakeReader:
+        def __init__(self, path):
+            self.path = path
+            self.size = (64, 48)
+
+        def read(self):
+            return np.zeros((48, 64, 3), np.uint8)
+
+        def __iter__(self):
+            return iter([])
+
+        def close(self):
+            closed.append(self.path)
+
+    def boom(*a, **k):
+        raise RuntimeError("decode explosion")
+
+    monkeypatch.setattr(video_mod, "VideoReader", FakeReader)
+    monkeypatch.setattr(serving_mod, "serve_streams", boom)
+    monkeypatch.setattr(serving_mod, "serve_objects", boom)
+    with pytest.raises(RuntimeError, match="decode explosion"):
+        main(["a.mp4", "b.mp4", "--roi", "4,4,8,8"])
+    assert closed == ["a.mp4", "b.mp4"]
+    closed.clear()
+    with pytest.raises(RuntimeError, match="decode explosion"):
+        main(["a.mp4", "--roi", "4,4,8,8", "--roi", "20,20,8,8"])
+    assert closed == ["a.mp4"]
+
+
 def test_serve_cli_objects_checkpoint_resume(tmp_path, capsys):
     """A K-object --checkpoint-out resumes in objects mode on one stream."""
     from pvot.cli.serve import main
