@@ -233,8 +233,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif len(rois) != n_streams:
             print(
                 f"Got {len(rois)} --roi for {n_streams} streams "
-                "(give one, or one per stream; several --roi on ONE "
-                "stream = multi-object mode)",
+                "(give one, or one per stream; for multi-object mode — "
+                f"{len(rois)} trackers over ONE stream — pass --streams 1)",
                 file=sys.stderr,
             )
             return 2
