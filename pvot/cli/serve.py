@@ -131,8 +131,24 @@ def main(argv: Optional[List[str]] = None) -> int:
     from pvot.io.gray import bgr_to_gray_u8, gray_u8_to_f32
     from pvot.parallel.multi import init_multi_state
 
+    if args.resume and args.roi:
+        # Pure arg validation — checked before any decoder opens.
+        print(
+            "--roi and --resume are mutually exclusive: templates and "
+            "boxes come from the checkpoint",
+            file=sys.stderr,
+        )
+        return 2
+
     # --- Per-stream first frames + remaining-frame iterators ---------------
     closers = []
+
+    def _fail(msg: str) -> int:
+        # Error exit after decoders may be open: close them, don't leak.
+        for c in closers:
+            c.close()
+        print(msg, file=sys.stderr)
+        return 2
     if args.synthetic:
         from pvot.io.synthetic import (
             SyntheticSpec,
@@ -167,11 +183,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         closers = readers
         sizes = {r.size for r in readers}
         if len(sizes) != 1:
-            print(
-                f"All streams must share one frame size; got {sizes}",
-                file=sys.stderr,
+            return _fail(
+                f"All streams must share one frame size; got {sizes}"
             )
-            return 2
         width, height = readers[0].size
         frame_shape = (height, width)
         firsts, feeds, default_rois = [], [], []
@@ -179,8 +193,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             if not args.resume:  # frame 0 seeds the template
                 first = r.read()
                 if first is None:
-                    print(f"Empty video: {r.path}", file=sys.stderr)
-                    return 2
+                    return _fail(f"Empty video: {r.path}")
                 firsts.append(bgr_to_gray_u8(first))
                 default_rois.append(None)
             feeds.append(_limit(iter(r), args.max_frames))
@@ -190,13 +203,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.resume:
         from pvot.utils.checkpoint import load_state
 
-        if args.roi:
-            print(
-                "--roi and --resume are mutually exclusive: templates and "
-                "boxes come from the checkpoint",
-                file=sys.stderr,
-            )
-            return 2
         states = load_state(args.resume)
         if np.ndim(states.t_mean) == 0:
             # A single-object checkpoint (saved by the pvot CLI, unstacked
@@ -211,12 +217,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             return _run_objects(args, feeds[0], states, frame_shape,
                                 (tw, th), closers)
         if saved != n_streams:
-            print(
+            return _fail(
                 f"--resume checkpoint holds {saved} stream states for "
-                f"{n_streams} streams",
-                file=sys.stderr,
+                f"{n_streams} streams"
             )
-            return 2
         return _run_serving(args, feeds, states, frame_shape, (tw, th),
                             closers)
 
@@ -225,41 +229,42 @@ def main(argv: Optional[List[str]] = None) -> int:
     # trackers over the one stream (the multi-object mega kernel). ---------
     objects_mode = False
     if args.roi:
-        rois = [_parse_roi(t) for t in args.roi]
+        try:
+            rois = [_parse_roi(t) for t in args.roi]
+        except SystemExit as e:  # invalid --roi after decoders opened
+            return _fail(str(e))
         if n_streams == 1 and len(rois) > 1:
             objects_mode = True
         elif len(rois) == 1:
             rois = rois * n_streams
         elif len(rois) != n_streams:
-            print(
+            hint = (
+                "pass --streams 1"
+                if args.synthetic
+                else "give exactly one video path"
+            )
+            return _fail(
                 f"Got {len(rois)} --roi for {n_streams} streams "
                 "(give one, or one per stream; for multi-object mode — "
-                f"{len(rois)} trackers over ONE stream — pass --streams 1)",
-                file=sys.stderr,
+                f"{len(rois)} trackers over ONE stream — {hint})"
             )
-            return 2
     elif all(r is not None for r in default_rois):
         rois = default_rois
     else:
-        print("File streams need --roi (serving is headless)", file=sys.stderr)
-        return 2
+        return _fail("File streams need --roi (serving is headless)")
     if len({(rw, rh) for _, _, rw, rh in rois}) != 1:
-        print(
+        return _fail(
             "All ROIs must share one W,H (stacked-template serving layout); "
-            f"got {sorted({(rw, rh) for _, _, rw, rh in rois})}",
-            file=sys.stderr,
+            f"got {sorted({(rw, rh) for _, _, rw, rh in rois})}"
         )
-        return 2
 
     fh, fw = frame_shape
     for s, (x, y, rw, rh) in enumerate(rois):
         if x < 0 or y < 0 or x + rw > fw or y + rh > fh:
-            print(
+            return _fail(
                 f"--roi {x},{y},{rw},{rh} (stream {s}) lies outside the "
-                f"{fw}x{fh} frame",
-                file=sys.stderr,
+                f"{fw}x{fh} frame"
             )
-            return 2
     template_firsts = [firsts[0]] * len(rois) if objects_mode else firsts
     templates = [
         jnp.asarray(gray_u8_to_f32(first)[y : y + rh, x : x + rw])

@@ -493,7 +493,11 @@ def serve_objects(
     # suffices).  Chunk fetches overlap one chunk deep, like every sibling
     # driver here: pack on device, fetch async, drain one chunk late.
     from pvot.parallel.multi import make_multi_step
-    from pvot.tracker.scan import _pack_outputs, make_masked_scan_fn
+    from pvot.tracker.scan import (
+        _pack_outputs,
+        _unpack_outputs,
+        make_masked_scan_fn,
+    )
     from pvot.tracker.state import StepOutput
 
     k_objects = int(np.shape(states.t_mean)[0])
@@ -510,15 +514,7 @@ def serve_objects(
     def drain(entry):
         nonlocal mark
         packed, n = entry
-        host = np.asarray(packed)[:n]  # (n, K, 7)
-        outs.append(
-            StepOutput(
-                bbox=host[..., 0:4].astype(np.int32),
-                score=host[..., 4].copy(),
-                used_global=host[..., 5] != 0.0,
-                updated=host[..., 6] != 0.0,
-            )
-        )
+        outs.append(_unpack_outputs(np.asarray(packed)[:n]))  # (n, K, 7)
         now = time.perf_counter()
         if timings is not None:
             timings.append((n, now - mark))
@@ -694,7 +690,11 @@ def _serve_streams_scan(
         make_multi_stream_step,
         make_stream_masked_scan_fn,
     )
-    from pvot.tracker.scan import _pack_outputs, _stack_outputs
+    from pvot.tracker.scan import (
+        _pack_outputs,
+        _stack_outputs,
+        _unpack_outputs,
+    )
     from pvot.tracker.state import StepOutput
 
     h, w = frame_shape
@@ -719,15 +719,7 @@ def _serve_streams_scan(
             n = int(n_real[s])
             if n == 0:
                 continue
-            rows = host[:n, s]
-            outs[s].append(
-                StepOutput(
-                    bbox=rows[:, 0:4].astype(np.int32),
-                    score=rows[:, 4].copy(),
-                    used_global=rows[:, 5] != 0.0,
-                    updated=rows[:, 6] != 0.0,
-                )
-            )
+            outs[s].append(_unpack_outputs(host[:n, s]))
         now = time.perf_counter()
         if timings is not None:
             timings.append((int(n_real.sum()), now - mark))

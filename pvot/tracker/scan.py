@@ -138,17 +138,24 @@ def _pack_outputs(out: StepOutput) -> jnp.ndarray:
     )
 
 
-def fetch_outputs(dev: StepOutput) -> StepOutput:
-    """Single-transfer fetch of a device-side StepOutput (frames[, K], ...)."""
-    packed = _pack_outputs(dev)
-    packed.copy_to_host_async()
-    host = np.asarray(packed)
+def _unpack_outputs(host: np.ndarray) -> StepOutput:
+    """Inverse of _pack_outputs on a fetched host array of shape (..., 7).
+
+    The single source of truth for the packed column layout — every driver
+    that fetches a _pack_outputs buffer unpacks through here."""
     return StepOutput(
         bbox=host[..., 0:4].astype(np.int32),
         score=host[..., 4].copy(),
         used_global=host[..., 5] != 0.0,
         updated=host[..., 6] != 0.0,
     )
+
+
+def fetch_outputs(dev: StepOutput) -> StepOutput:
+    """Single-transfer fetch of a device-side StepOutput (frames[, K], ...)."""
+    packed = _pack_outputs(dev)
+    packed.copy_to_host_async()
+    return _unpack_outputs(np.asarray(packed))
 
 
 def track_video(

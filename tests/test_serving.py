@@ -527,6 +527,46 @@ def test_serve_cli_closes_decoders_on_error(monkeypatch):
     assert closed == ["a.mp4"]
 
 
+def test_serve_cli_closes_decoders_on_arg_errors(monkeypatch, capsys):
+    """Validation-error exits AFTER decoders open close them too (the
+    serving try/finally only covers the serve call itself)."""
+    import pvot.io.video as video_mod
+    from pvot.cli.serve import main
+
+    closed = []
+
+    class FakeReader:
+        def __init__(self, path):
+            self.path = path
+            self.size = (64, 48)
+
+        def read(self):
+            return np.zeros((48, 64, 3), np.uint8)
+
+        def __iter__(self):
+            return iter([])
+
+        def close(self):
+            closed.append(self.path)
+
+    monkeypatch.setattr(video_mod, "VideoReader", FakeReader)
+    # ROI-count mismatch over file streams: the hint names the file-mode
+    # remedy (one path), not --streams (which files ignore).
+    rc = main(["a.mp4", "b.mp4", "c.mp4",
+               "--roi", "4,4,8,8", "--roi", "9,9,8,8"])
+    assert rc == 2
+    assert closed == ["a.mp4", "b.mp4", "c.mp4"]
+    assert "give exactly one video path" in capsys.readouterr().err
+    closed.clear()
+    # Missing --roi for file streams.
+    assert main(["a.mp4"]) == 2
+    assert closed == ["a.mp4"]
+    closed.clear()
+    # Malformed --roi after decoders opened (SystemExit routed to _fail).
+    assert main(["a.mp4", "--roi", "bogus"]) == 2
+    assert closed == ["a.mp4"]
+
+
 def test_serve_cli_objects_checkpoint_resume(tmp_path, capsys):
     """A K-object --checkpoint-out resumes in objects mode on one stream."""
     from pvot.cli.serve import main
