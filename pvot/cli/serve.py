@@ -179,8 +179,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         from pvot.io.video import VideoReader
 
-        readers = [VideoReader(path) for path in args.videos]
-        closers = readers
+        readers = []
+        for path in args.videos:
+            # Append as each decoder opens so a failed Nth open still
+            # closes the first N-1 handles via _fail.
+            try:
+                readers.append(VideoReader(path))
+                closers.append(readers[-1])
+            except Exception as e:
+                return _fail(f"Cannot open video {path!r}: {e}")
         sizes = {r.size for r in readers}
         if len(sizes) != 1:
             return _fail(
@@ -203,7 +210,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.resume:
         from pvot.utils.checkpoint import load_state
 
-        states = load_state(args.resume)
+        try:
+            states = load_state(args.resume)
+        except (OSError, ValueError, KeyError) as e:
+            # Missing/corrupt checkpoint after decoders opened: close them.
+            return _fail(f"Cannot resume from {args.resume!r}: {e}")
         if np.ndim(states.t_mean) == 0:
             # A single-object checkpoint (saved by the pvot CLI, unstacked
             # scalar leaves): serve it as a one-lane stacked state.

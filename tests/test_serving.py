@@ -567,6 +567,67 @@ def test_serve_cli_closes_decoders_on_arg_errors(monkeypatch, capsys):
     assert closed == ["a.mp4"]
 
 
+def test_serve_cli_closes_decoders_on_partial_open(monkeypatch, capsys):
+    """If the Nth decoder fails to open, the first N-1 handles are closed
+    (readers are appended to the closer list as each one opens)."""
+    import pvot.io.video as video_mod
+    from pvot.cli.serve import main
+
+    closed = []
+
+    class FakeReader:
+        def __init__(self, path):
+            if path == "bad.mp4":
+                raise OSError("no such container")
+            self.path = path
+            self.size = (64, 48)
+
+        def close(self):
+            closed.append(self.path)
+
+    monkeypatch.setattr(video_mod, "VideoReader", FakeReader)
+    rc = main(["a.mp4", "b.mp4", "bad.mp4", "--roi", "4,4,8,8"])
+    assert rc == 2
+    assert closed == ["a.mp4", "b.mp4"]
+    assert "Cannot open video 'bad.mp4'" in capsys.readouterr().err
+
+
+def test_serve_cli_closes_decoders_on_bad_resume(monkeypatch, tmp_path,
+                                                 capsys):
+    """A missing or corrupt --resume checkpoint (raises after decoders
+    open) exits 2 and closes every decoder handle."""
+    import pvot.io.video as video_mod
+    from pvot.cli.serve import main
+
+    closed = []
+
+    class FakeReader:
+        def __init__(self, path):
+            self.path = path
+            self.size = (64, 48)
+
+        def read(self):
+            return np.zeros((48, 64, 3), np.uint8)
+
+        def __iter__(self):
+            return iter([])
+
+        def close(self):
+            closed.append(self.path)
+
+    monkeypatch.setattr(video_mod, "VideoReader", FakeReader)
+    rc = main(["a.mp4", "b.mp4", "--resume", str(tmp_path / "absent.npz")])
+    assert rc == 2
+    assert closed == ["a.mp4", "b.mp4"]
+    assert "Cannot resume from" in capsys.readouterr().err
+    closed.clear()
+    corrupt = tmp_path / "corrupt.npz"
+    corrupt.write_bytes(b"not an npz")
+    rc = main(["a.mp4", "--resume", str(corrupt)])
+    assert rc == 2
+    assert closed == ["a.mp4"]
+
+
 def test_serve_cli_objects_checkpoint_resume(tmp_path, capsys):
     """A K-object --checkpoint-out resumes in objects mode on one stream."""
     from pvot.cli.serve import main
