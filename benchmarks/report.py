@@ -142,6 +142,8 @@ def render(bench_files=None) -> str:
             notes.append(f"{_fmt_fps(rec['object_rate'])} object-updates/s")
         if "aggregate_fps" in rec:
             notes.append(f"**{_fmt_fps(rec['aggregate_fps'])} aggregate FPS**")
+        if "engine" in rec:
+            notes.append(f"{rec['engine']} kernel")
         if "parity_max_abs_err_vs_matmul" in rec:
             notes.append(
                 f"on-device parity vs matmul engine: "

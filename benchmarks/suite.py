@@ -540,10 +540,13 @@ def bench_mode_comparison(frames=512):
 
 
 def bench_mega(name="mega_720p", *, width=1280, height=720, templ=80,
-               num_frames=2048, chunk_size=512):
+               num_frames=2048, chunk_size=512, radius=None, passes=1):
     """The mega-kernel path (whole chunk in ONE pallas_call,
-    pvot.ops.ncc_mega) at the headline geometry — the suite row behind
-    bench.py's default backend.  Protocol identical to bench_tracking."""
+    pvot.ops.ncc_mega) — the suite row behind bench.py's default backend,
+    and (round 4, via radius=) the r160 stress rows the span-tiled kernel
+    admitted.  Protocol identical to bench_tracking; passes re-track the
+    staged clip from fresh states to amortize the relay floor on short
+    rows (every pass ground-truth-checked)."""
     import jax
     import jax.numpy as jnp
 
@@ -554,6 +557,8 @@ def bench_mega(name="mega_720p", *, width=1280, height=720, templ=80,
     from pvot.tracker.state import init_state
 
     config = TrackerConfig()
+    if radius:
+        config = TrackerConfig(search_radius_x=radius, search_radius_y=radius)
     spec = SyntheticSpec(
         width=width, height=height, num_frames=num_frames + 1,
         target_w=templ, target_h=templ, seed=1,
@@ -568,24 +573,26 @@ def bench_mega(name="mega_720p", *, width=1280, height=720, templ=80,
     ]
     jax.block_until_ready(chunks[-1])
     run_once, finish = _make_mega_runner(
-        chunks, state, (height, width), (h, w), chunk_size, config
+        chunks, state, (height, width), (h, w), chunk_size, config,
+        passes=passes,
     )
     host, elapsed = _stage_flip_time(
         lambda: run_once(fetch=False), lambda: run_once(fetch=True)
     )
     bboxes, _updated, extras = finish(host)
     errs = [
-        abs(int(b[0]) - target_bbox(spec, i + 1)[0])
-        + abs(int(b[1]) - target_bbox(spec, i + 1)[1])
+        abs(int(b[0]) - target_bbox(spec, (i % num_frames) + 1)[0])
+        + abs(int(b[1]) - target_bbox(spec, (i % num_frames) + 1)[1])
         for i, b in enumerate(bboxes)
     ]
-    fps = num_frames / elapsed
+    total = num_frames * passes
+    fps = total / elapsed
     return {
         "config": name,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
-        "frames": num_frames,
+        "frames": total,
         "elapsed_s": round(elapsed, 4),
         "max_l1_err_px": int(max(errs)),
         **extras,
@@ -842,6 +849,109 @@ def bench_serving_e2e(num_streams=16, width=1280, height=720, templ=80,
     }
 
 
+def bench_occlusion(periods=(0, 256, 128, 64), *, width=1280, height=720,
+                    templ=80, num_frames=1024, chunk_size=64,
+                    occlusion_len=24, lost_threshold=10):
+    """The occlusion-heavy regime (round-4 VERDICT item 2): the target
+    leaves the frame for `occlusion_len` frames at the end of every
+    `period`-frame window, driving the lost-object -> global-search ->
+    re-acquire cycle repeatedly.  Each period runs the MEGA driver (whose
+    global frames poison and transactionally re-run on the scan path,
+    pvot.tracker.mega) against the shear SCAN engine on the same clip;
+    trajectories must bit-match (the scan path IS the semantics oracle —
+    during an occlusion there is no ground truth to check against).
+
+    period=0 is the clean baseline.  The mega/scan FPS ratio per period
+    locates the poison-rate crossover documented in docs/PERFORMANCE.md.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.tracker.mega import track_video_mega
+    from pvot.tracker.scan import track_video
+    from pvot.tracker.state import init_state
+
+    config = TrackerConfig(lost_frame_threshold=lost_threshold)
+    out = []
+    for period in periods:
+        spec = SyntheticSpec(
+            width=width, height=height, num_frames=num_frames + 1,
+            target_w=templ, target_h=templ, seed=1,
+            occlusion_period=period, occlusion_len=occlusion_len if period else 0,
+        )
+        frames = generate_gray_video(spec)
+        x, y, w, h = target_bbox(spec, 0)
+        template = gray_u8_to_f32(frames[0])[y : y + h, x : x + w]
+        state = init_state(jnp.asarray(template), (x, y, w, h))
+
+        recs = {}
+        for engine in ("mega", "scan"):
+            # Warm (compiles + probes), then time two full runs; these
+            # drivers fetch eagerly per transaction round, so the run is
+            # timed whole (already past the relay's sync flip from the
+            # warmup fetch).
+            def run():
+                if engine == "mega":
+                    return track_video_mega(
+                        frames[1:], state, config, chunk_size=chunk_size,
+                    )
+                return track_video(
+                    frames[1:], state, config, strategy="fused",
+                    backend="pallas_shear", chunk_size=chunk_size,
+                )
+
+            run()
+            best, result = float("inf"), None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                result = run()
+                best = min(best, time.perf_counter() - t0)
+            recs[engine] = (best, result[1])
+        mega_t, mega_out = recs["mega"]
+        scan_t, scan_out = recs["scan"]
+        traj_equal = bool(
+            np.array_equal(mega_out.bbox, scan_out.bbox)
+            and np.array_equal(mega_out.used_global, scan_out.used_global)
+        )
+        fps = num_frames / mega_t
+        out.append({
+            "config": f"occl_p{period}_720p" if period else "occl_clean_720p",
+            "backend": "mega",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / REFERENCE_FPS, 2),
+            "frames": num_frames,
+            "elapsed_s": round(mega_t, 4),
+            "scan_fps": round(num_frames / scan_t, 2),
+            "global_frames": int(np.asarray(mega_out.used_global).sum()),
+            "traj_equal_scan": traj_equal,
+            "occlusion_period": period,
+        })
+        print(json.dumps(out[-1]), flush=True)
+    return out
+
+
+def _bench_r160(name, **kw):
+    """The r160 stress rows on the span-tiled mega kernel (round 4), with
+    the round-3 behavior (scan auto engine) as the fallback when the mega
+    compile fails on the serving chip."""
+    try:
+        rec = bench_mega(name, radius=160, passes=4, **kw)
+        # "engine", not "backend": the merge keys rows by (config, backend),
+        # and this row REPLACES the round-3 scan row for the same config.
+        rec["engine"] = "mega"
+        return rec
+    except Exception as e:
+        import sys
+
+        print(f"suite: mega unavailable for {name} ({type(e).__name__}); "
+              "falling back to the scan auto engine", file=sys.stderr)
+        return bench_tracking(name, radius=160, backend="auto", **kw)
+
+
 CONFIGS = {
     "1": lambda frames: bench_tracking(
         "cpu_parity_720p", width=1280, height=720, backend="cpu",
@@ -859,19 +969,19 @@ CONFIGS = {
         for n in (4, 8, 16, 32)
     ],
     # r160 stress configs are pvot extensions (the reference never ran
-    # 1080p/4K): they use the auto engine, which (round 3) resolves to the
-    # Pallas engine wherever the geometry probe passes — measured to win
-    # or tie the matmul engine at every tested geometry once the direct
-    # operator build landed (tools/engine_ab_bench.py; at 1080p/r160 the
-    # margin is ~2.7x).  Trajectory-checked every run.
+    # 1080p/4K).  Round 4: the span-tiled mega kernel admits this span
+    # (321 -> nx=3 output tiles, pvot/ops/ncc_mega.py), so these rows run
+    # the mega driver (full HIGHEST parity, ground-truth-checked, passes=4
+    # floor amortization) with a scan-engine fallback if the kernel is
+    # unavailable on the serving chip.
     "4": lambda frames: [
-        bench_tracking(
-            "1080p_r160", width=1920, height=1080, radius=160,
-            num_frames=min(frames, 256), chunk_size=64, backend="auto",
+        _bench_r160(
+            "1080p_r160", width=1920, height=1080,
+            num_frames=min(frames, 256), chunk_size=64,
         ),
-        bench_tracking(
-            "4k_r160", width=3840, height=2160, radius=160,
-            num_frames=min(frames, 128), chunk_size=32, backend="auto",
+        _bench_r160(
+            "4k_r160", width=3840, height=2160,
+            num_frames=min(frames, 128), chunk_size=32,
         ),
     ],
     "5": lambda frames: bench_multi_object(),
@@ -932,6 +1042,9 @@ CONFIGS = {
     "7m1080": lambda frames: bench_multi_stream_mega(
         8, width=1920, height=1080, num_frames=96, chunk_size=24,
     ),
+    # Occlusion-heavy regime (round 4): poison-rate sweep, mega driver vs
+    # scan engine on periodically-occluded clips; locates the crossover.
+    "12": lambda frames: bench_occlusion(),
 }
 
 

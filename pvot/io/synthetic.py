@@ -38,6 +38,14 @@ class SyntheticSpec:
     # background moves while the target follows its own path, so trackers
     # can't succeed by latching onto background texture.
     background_scroll: float = 0.0
+    # Periodic occlusions (round 4, the occlusion-heavy serving regime):
+    # in every `occlusion_period`-frame window the target parks fully
+    # outside the right edge for the LAST `occlusion_len` frames, then
+    # re-enters.  0 disables.  Composes the lost-object -> global-search ->
+    # re-acquire cycle repeatedly, unlike exit_and_reenter's single
+    # mid-clip episode.
+    occlusion_period: int = 0
+    occlusion_len: int = 0
 
 
 def target_center(spec: SyntheticSpec, frame_idx: int) -> Tuple[int, int]:
@@ -51,6 +59,10 @@ def target_center(spec: SyntheticSpec, frame_idx: int) -> Tuple[int, int]:
         third = spec.num_frames // 3
         if third <= frame_idx < 2 * third:
             # Park the target fully outside the right edge.
+            cx = spec.width + spec.target_w
+    if spec.occlusion_period:
+        phase = frame_idx % spec.occlusion_period
+        if phase >= spec.occlusion_period - spec.occlusion_len:
             cx = spec.width + spec.target_w
     return cx, cy
 

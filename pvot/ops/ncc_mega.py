@@ -83,11 +83,18 @@ class MegaGeometry:
         self.tile_lanes = _round_up(TX + self.tw - 1, 128)
         self.m_lanes = self.tile_lanes + TX  # shear template width
         self.ty = _round_up(self.span_y, 8)
+        # Span tiling (round 4): spans wider than one TX output tile run the
+        # score pass nx times over shifted lane windows of the same slab,
+        # with an exact cross-tile argmax combine — this is what admits the
+        # blueprint's r160 configs (span 321 -> nx=3) that round 3 left on
+        # the scan engines (BASELINE.json config 4).
+        self.nx = -(-self.span_x // TX)
+        self.score_lanes = (self.nx - 1) * TX + self.tile_lanes
         # Slab: the aligned uint8 superset the kernel DMAs per frame.  The
-        # score pass reads ty + rows8 rows / tile_lanes lanes after the
+        # score pass reads ty + rows8 rows / score_lanes lanes after the
         # residual roll; alignment adds up to ROW_ALIGN-1 / LANE_ALIGN-1.
         self.slab_h = _round_up(self.ty + self.rows8 + ROW_ALIGN - 1, ROW_ALIGN)
-        self.slab_w = _round_up(self.tile_lanes + LANE_ALIGN - 1, LANE_ALIGN)
+        self.slab_w = _round_up(self.score_lanes + LANE_ALIGN - 1, LANE_ALIGN)
         # Padded frame extents so every aligned slab read is in bounds:
         # the largest aligned origin is align_down(out - span), and padding
         # may only ever ADD pixels (zeros) past the real frame.
@@ -97,11 +104,15 @@ class MegaGeometry:
         self.pad_w = max(self.frame_w, max_xa + self.slab_w)
 
     def supported(self) -> bool:
-        """v1 envelope: single-tile search span, template within one lane
-        tile / 16 row groups.  Everything else stays on the scan engines."""
+        """Round-4 envelope: spans up to 4 output tiles / 512 rows (the
+        blueprint's r160 stress configs run span 321), template within one
+        lane tile / 16 row groups.  Everything else stays on the scan
+        engines.  The span caps bound the kernel's VMEM working set (f32
+        slab + per-tile w/wsq/t1p slices) well under the chip's VMEM; the
+        per-geometry compile+numerics probe remains the runtime gate."""
         return (
-            self.span_x <= TX
-            and self.ty <= 128
+            self.span_x <= 4 * TX
+            and self.ty <= 512
             and self.th <= 128
             and self.tw <= TX
             and self.out_h >= self.span_y
@@ -133,8 +144,6 @@ def _mega_kernel(
     highest: bool = True,
     multi: bool = False,
     shared_frames: bool = False,
-    box_band: bool = False,
-    roll_u8: bool = False,
 ):
     # multi=False: grid (F,) — one stream, scratch is the frame-loop carry.
     # multi=True: grid (S, F), frame axis innermost — streams run back to
@@ -241,45 +250,77 @@ def _mega_kernel(
     # (y0, x0) — identical to the per-frame engines' region slice.  Roll
     # wraparound garbage lands beyond the rows/lanes any valid window or
     # masked-in score position reads (see module docstring).
-    if roll_u8:
-        # Experimental (tools/mega_box_ab.py): roll the uint8 slab BEFORE
-        # the f32 conversion — 4x less roll traffic (96 KB vs 393 KB per
-        # axis).  Same math: the scale commutes with the roll.
-        s8 = pltpu.roll(slab_ref[:, :], g.slab_h - (y0 - ya), 0)
-        s8 = pltpu.roll(s8, g.slab_w - (x0 - xa), 1)
-        slab = (
-            s8.astype(jnp.int32).astype(jnp.float32)
-            * jnp.float32(1.0 / 255.0)
-        )
-    else:
-        slab = (
-            slab_ref[:, :].astype(jnp.int32).astype(jnp.float32)
-            * jnp.float32(1.0 / 255.0)
-        )
-        slab = pltpu.roll(slab, g.slab_h - (y0 - ya), 0)
-        slab = pltpu.roll(slab, g.slab_w - (x0 - xa), 1)
+    # (A rolled-before-convert uint8 variant — 4x less roll traffic — was
+    # measured in tools/mega_box_ab.py round 4: this relay's Mosaic rejects
+    # pltpu.roll on uint8 values (MosaicError at compile), so the roll stays
+    # on the f32 copy.)
+    slab = (
+        slab_ref[:, :].astype(jnp.int32).astype(jnp.float32)
+        * jnp.float32(1.0 / 255.0)
+    )
+    slab = pltpu.roll(slab, g.slab_h - (y0 - ya), 0)
+    slab = pltpu.roll(slab, g.slab_w - (x0 - xa), 1)
 
     # --- NCC scores: the shear formulation on value slices (mirrors
     # ncc_pallas._score_tile shear=True; kept in sync by
-    # tests/test_mega.py::test_mega_matches_xla_*) ---------------------------
+    # tests/test_mega.py::test_mega_matches_xla_*).  Spans wider than one
+    # TX output tile run this pass g.nx times over shifted lane windows of
+    # the same slab (round 4: admits the r160 blueprint configs); the
+    # per-tile masked argmaxes combine exactly below. --------------------
     t_mean, t_std_in, sum_tc = sf_ref[0], sf_ref[1], sf_ref[2]
     row8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 0)
     col8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 1)
-    acc = jnp.zeros((ty, TX), jnp.float32)
-    bsum = jnp.zeros((ty, tile_lanes), jnp.float32)
-    bsq = jnp.zeros((ty, tile_lanes), jnp.float32)
+    dy_iota = lax.broadcasted_iota(jnp.int32, (ty, TX), 0)
+    dxl_iota = lax.broadcasted_iota(jnp.int32, (ty, TX), 1)
+
+    def dot_f32(a, b):
+        return lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    # Span tiles are STACKED along the dot's M axis — one MXU dot per
+    # template row covers all nx tiles (w rows are independent in a
+    # matmul, so per-tile scores are bit-identical to per-tile dots).
+    # Per-tile dots were the round-4 first cut; they compiled on the fast
+    # tier but crashed the relay's Mosaic at HIGHEST for ANY nx > 1
+    # (tpu_compile_helper exit 1 at nx=2/3, while nx=1 compiles even at
+    # ty=328 — /tmp/span_probe.log matrix).  Stacking keeps the HIGHEST
+    # dot count identical to the proven nx=1 kernel and feeds the MXU
+    # taller operands.
+    # (A banded-MXU variant of the vertical box sums — one (ty, ty+rows8)
+    # 0/1-band dot per tile instead of the p-loop VPU adds — was measured
+    # in round 4: it LOSES at both the headline geometry (39.7 vs 38.3
+    # us/frame) and the r160 multi-tile geometry (237 vs 231, on the
+    # per-tile-dot kernel), so that lever was deleted.)
+    nseg = ty + 8  # rows per stacked tile segment
+    acc_l = [jnp.zeros((ty, TX), jnp.float32) for _ in range(g.nx)]
+    bsum_l = [jnp.zeros((ty, tile_lanes), jnp.float32) for _ in range(g.nx)]
+    bsq_l = [jnp.zeros((ty, tile_lanes), jnp.float32) for _ in range(g.nx)]
     for k in range(g.k_blocks):  # static unroll
-        w = slab[8 * k : 8 * k + ty + 8, :tile_lanes]
-        if not box_band:
-            wsq = w * w
+        if g.nx == 1:
+            w = slab[8 * k : 8 * k + ty + 8, :tile_lanes]
+        else:
+            w = jnp.concatenate(
+                [
+                    slab[8 * k : 8 * k + ty + 8,
+                         xt * TX : xt * TX + tile_lanes]
+                    for xt in range(g.nx)
+                ],
+                axis=0,
+            )
+        wsq = w * w
         valid8 = ((8 * k + row8) < th) & (col8 < tw)
         t8 = jnp.where(valid8, tpl_ref[pl.ds(8 * k, 8), :] - t_mean, 0.0)
         if not highest:
-            # Fast tier: 3-pass bf16 hi/lo decomposition of the shear dot
-            # (the in-kernel precision=HIGH analog, same structure as
-            # ncc_pallas._dot_hl3; hi/lo commutes with the roll, so the
-            # roll stays f32 and the split happens on the rolled value —
-            # keeping the RHS a VALUE, the shear precision caution).
+            # Fast tier: 3-pass bf16 hi/lo decomposition of the shear
+            # dot (the in-kernel precision=HIGH analog, same structure
+            # as ncc_pallas._dot_hl3; hi/lo commutes with the roll, so
+            # the roll stays f32 and the split happens on the rolled
+            # value — keeping the RHS a VALUE, the shear precision
+            # caution).
             wh = w.astype(jnp.bfloat16)
             wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
         for p in range(8):
@@ -308,60 +349,53 @@ def _mega_kernel(
                     )
 
                 t1p = d1(wh, tth) + d1(wh, ttl) + d1(wl, tth)
-            acc = acc + t1p[p : p + ty, :]
-            if not box_band:
-                bsum = bsum + w[p : p + ty, :]
-                bsq = bsq + wsq[p : p + ty, :]
+            for xt in range(g.nx):
+                o = xt * nseg + p
+                acc_l[xt] = acc_l[xt] + t1p[o : o + ty, :]
+                bsum_l[xt] = bsum_l[xt] + w[o : o + ty, :]
+                bsq_l[xt] = bsq_l[xt] + wsq[o : o + ty, :]
 
-    def dot_f32(a, b):
-        return lax.dot_general(
-            a, b,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+    best_val = jnp.float32(0.0)
+    bdy = jnp.int32(0)
+    bdx = jnp.int32(0)
+    for xt in range(g.nx):  # per-tile normalization + masked argmax
+        acc_sum = dot_f32(bsum_l[xt], box_ref[:, :])
+        acc_ssq = dot_f32(bsq_l[xt], box_ref[:, :])
+        mean = acc_sum / n
+        var = acc_ssq / n - mean * mean
+        std = jnp.sqrt(jnp.maximum(var, 1e-6))
+        cov = acc_l[xt] - mean * sum_tc
+        s = cov / ((std + 1e-6) * (t_std_in + 1e-6) * n)
+
+        # Masked argmax, row-major first occurrence, division-free:
+        # smallest dy among maxima, then smallest (global) dx within it.
+        dxg = xt * TX + dxl_iota
+        mask = (
+            (dxg >= min_tx - x0)
+            & (dxg <= max_tx - x0)
+            & (dy_iota >= min_ty - y0)
+            & (dy_iota <= max_ty - y0)
         )
-
-    if box_band:
-        # Experimental (tools/mega_box_ab.py): the VERTICAL box sums as one
-        # banded MXU dot each instead of 2 x th VPU adds of (ty, tile_lanes)
-        # slices.  band[dy, r] = 1 iff dy <= r < dy + th; HIGHEST keeps the
-        # products exact, but the reduction ORDER differs from the p-loop
-        # accumulation (and from the shear scan kernel), so scores can
-        # drift ~1 ulp — adopt only with a measured win + bit-equal
-        # trajectory on the headline clip.
-        rows_tot = ty + g.rows8
-        d_iota = lax.broadcasted_iota(jnp.int32, (ty, rows_tot), 0)
-        r_iota = lax.broadcasted_iota(jnp.int32, (ty, rows_tot), 1)
-        band = ((r_iota >= d_iota) & (r_iota < d_iota + th)).astype(
-            jnp.float32
-        )
-        slab_c = slab[:rows_tot, :tile_lanes]
-        bsum = dot_f32(band, slab_c)
-        bsq = dot_f32(band, slab_c * slab_c)
-
-    acc_sum = dot_f32(bsum, box_ref[:, :])
-    acc_ssq = dot_f32(bsq, box_ref[:, :])
-    mean = acc_sum / n
-    var = acc_ssq / n - mean * mean
-    std = jnp.sqrt(jnp.maximum(var, 1e-6))
-    cov = acc - mean * sum_tc
-    s = cov / ((std + 1e-6) * (t_std_in + 1e-6) * n)
-
-    # --- Masked argmax, row-major first occurrence, division-free: smallest
-    # dy among maxima, then smallest dx within that dy ----------------------
-    dy = lax.broadcasted_iota(jnp.int32, (ty, TX), 0)
-    dx = lax.broadcasted_iota(jnp.int32, (ty, TX), 1)
-    mask = (
-        (dx >= min_tx - x0)
-        & (dx <= max_tx - x0)
-        & (dy >= min_ty - y0)
-        & (dy <= max_ty - y0)
-    )
-    masked = jnp.where(mask, s, -jnp.inf)
-    best_val = jnp.max(masked)
-    is_best = masked == best_val
-    bdy = jnp.min(jnp.where(is_best, dy, BIG))
-    bdx = jnp.min(jnp.where(is_best & (dy == bdy), dx, BIG))
+        masked = jnp.where(mask, s, -jnp.inf)
+        val_t = jnp.max(masked)
+        is_best = masked == val_t
+        bdy_t = jnp.min(jnp.where(is_best, dy_iota, BIG))
+        bdx_t = jnp.min(jnp.where(is_best & (dy_iota == bdy_t), dxg, BIG))
+        if xt == 0:
+            best_val, bdy, bdx = val_t, bdy_t, bdx_t
+        else:
+            # Exact cross-tile combine: row-major first occurrence is
+            # dy-major, so lexicographic (value desc, dy asc, dx asc) over
+            # per-tile winners reproduces the single-map argmax — each
+            # tile's bdy_t is already the smallest dy of its own maxima,
+            # and later tiles hold strictly larger dx.
+            better = (val_t > best_val) | (
+                (val_t == best_val)
+                & ((bdy_t < bdy) | ((bdy_t == bdy) & (bdx_t < bdx)))
+            )
+            best_val = jnp.where(better, val_t, best_val)
+            bdy = jnp.where(better, bdy_t, bdy)
+            bdx = jnp.where(better, bdx_t, bdx)
     best_x = x0 + bdx
     best_y = y0 + bdy
 
@@ -432,7 +466,6 @@ def _mega_kernel(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
-        "box_band", "roll_u8",
     ),
 )
 def mega_track_chunk(
@@ -449,8 +482,6 @@ def mega_track_chunk(
     config: TrackerConfig,
     interpret: bool = False,
     highest: bool = True,
-    box_band: bool = False,
-    roll_u8: bool = False,
 ):
     """Run one chunk through the mega-kernel.
 
@@ -507,13 +538,12 @@ def mega_track_chunk(
     box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
-        box_band=box_band, roll_u8=roll_u8,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5  # u8 slab + one f32 copy
         + 4 * 3 * g.rows8 * g.m_lanes  # template scratch/in/out + centered
         + 4 * g.tile_lanes * TX
-        + 4 * (g.ty + 8) * g.m_lanes * 4  # w/wsq/t1p working set
+        + 4 * (g.ty + 8) * g.m_lanes * 4 * g.nx  # w/wsq/t1p working set
         + 24 * 1024 * 1024  # acc/bsum/bsq + rolled slab copies + slack
     )
     rows, tplout = pl.pallas_call(
@@ -635,7 +665,7 @@ def mega_track_chunk_multi(
         g.slab_h * g.slab_w * 5
         + 4 * 6 * g.rows8 * g.m_lanes  # double-buffered tpl in/out + scratch
         + 4 * g.tile_lanes * TX
-        + 4 * (g.ty + 8) * g.m_lanes * 4
+        + 4 * (g.ty + 8) * g.m_lanes * 4 * g.nx
         + 24 * 1024 * 1024
     )
     rows, tplout = pl.pallas_call(
@@ -767,7 +797,7 @@ def mega_track_chunk_objects(
         g.slab_h * g.slab_w * 5
         + 4 * 6 * g.rows8 * g.m_lanes
         + 4 * g.tile_lanes * TX
-        + 4 * (g.ty + 8) * g.m_lanes * 4
+        + 4 * (g.ty + 8) * g.m_lanes * 4 * g.nx
         + 24 * 1024 * 1024
     )
     rows, tplout = pl.pallas_call(

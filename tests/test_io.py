@@ -56,6 +56,25 @@ def test_synthetic_bgr_roundtrips_through_gray():
         np.testing.assert_array_equal(bgr_to_gray_u8(bgr), gray[i])
 
 
+def test_synthetic_periodic_occlusion():
+    """occlusion_period parks the target outside the frame for the LAST
+    occlusion_len frames of every period window; frame 0 stays visible
+    (it seeds the template)."""
+    from pvot.io.synthetic import target_bbox
+
+    spec = SyntheticSpec(
+        width=160, height=120, num_frames=32, target_w=24, target_h=24,
+        occlusion_period=8, occlusion_len=3,
+    )
+    for i in range(spec.num_frames):
+        x = target_bbox(spec, i)[0]
+        outside = x >= spec.width
+        assert outside == (i % 8 >= 5), (i, x)
+    assert target_bbox(spec, 0)[0] < spec.width
+    frames = generate_gray_video(spec)
+    assert frames.shape == (32, 120, 160)
+
+
 def test_video_write_read_roundtrip(tmp_path):
     spec = SyntheticSpec(width=160, height=120, num_frames=8, target_w=24, target_h=24)
     path = str(tmp_path / "clip.avi")
