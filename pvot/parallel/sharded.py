@@ -48,6 +48,7 @@ def make_search_sharded_step(
     config: TrackerConfig = TrackerConfig(),
     data_axis: str = "data",
     search_axis: str = "search",
+    backend: str = "xla",
 ):
     """Tracking step sharded over (streams x search-rows).
 
@@ -57,11 +58,20 @@ def make_search_sharded_step(
               `search_axis`)
 
     Per stream, the local-search candidate window (span_y x span_x) is split
-    row-wise across `search_axis`: each device evaluates NCC on its slab via
-    the MXU matmul formulation, takes a local argmax, and the winners combine
-    with an all_gather.  Global (re-acquisition) search splits the full NCC
-    map the same way.  Row-major tie-breaking survives because slabs are
-    ordered by y and the combine prefers (val, -y, -x) lexicographically.
+    row-wise across `search_axis`: each device evaluates NCC on its slab,
+    takes a local argmax, and the winners combine with an all_gather.
+    Global (re-acquisition) search splits the full NCC map the same way.
+    Row-major tie-breaking survives because slabs are ordered by y and the
+    combine prefers (val, -y, -x) lexicographically.
+
+    backend names the per-slab NCC engine (round 4): "xla" is the MXU
+    matmul formulation; "pallas_shear"/"pallas"/"pallas_fast" resolve
+    through the registry's per-geometry compile+numerics probe AT THE SLAB
+    GEOMETRY (local slab and global strip are probed separately) with the
+    registry's graceful fallback chain — on hosts without the Pallas
+    engines (e.g. the virtual-CPU dryrun mesh) this collapses back to the
+    matmul engine automatically, so the multi-chip path is no longer
+    pinned 2-3x below the single-chip engines when real chips arrive.
     """
     frame_h, frame_w = frame_shape
     templ_h, templ_w = templ_shape
@@ -73,6 +83,23 @@ def make_search_sharded_step(
     slab_y = _ceil_to(span_y, n_search) // n_search  # candidate rows per device
     full_slab = _ceil_to(out_h, n_search) // n_search  # global-map rows per device
     lr = float(config.template_update_lr)
+
+    if backend == "xla":
+        slab_map_fn = strip_map_fn = ncc_map_matmul
+    else:
+        from pvot.ops.backends import get_backend
+
+        # Probe at the exact shapes each pass scores (the round-2 lesson:
+        # tiny-geometry probes pass while large-geometry Mosaic failures
+        # explode mid-run).
+        slab_map_fn = get_backend(
+            backend,
+            (slab_y + templ_h - 1, span_x + templ_w - 1),
+            templ_shape, config,
+        )[0]
+        strip_map_fn = get_backend(
+            backend, (full_slab + templ_h - 1, frame_w), templ_shape, config,
+        )[0]
 
     def _lex_combine(val, x, y, axis_name):
         """all_gather winners and pick max val, ties -> smallest (y, x).
@@ -104,7 +131,7 @@ def make_search_sharded_step(
         region = lax.dynamic_slice(
             frame, (slab_y0, x0), (slab_y + templ_h - 1, span_x + templ_w - 1)
         )
-        return ncc_map_matmul(region, templ, t_mean, t_std), slab_y0
+        return slab_map_fn(region, templ, t_mean, t_std), slab_y0
 
     def sharded_step(states: TrackerState, frames: jax.Array):
         def per_shard(states, frames):
@@ -174,7 +201,7 @@ def make_search_sharded_step(
                 strip = lax.dynamic_slice(
                     frame, (gy0, 0), (full_slab + templ_h - 1, frame_w)
                 )
-                scores = ncc_map_matmul(
+                scores = strip_map_fn(
                     strip, state.template, state.t_mean, state.t_std
                 )
                 sy, sx = scores.shape
@@ -349,9 +376,12 @@ def track_video_sharded(
     chunk_size: int = 16,
     data_axis: str = "data",
     search_axis: str = "search",
+    backend: str = "xla",
 ):
     """Scan S video streams across a device mesh: the multi-chip analog of
-    pvot.tracker.scan.track_video.
+    pvot.tracker.scan.track_video.  `backend` picks the per-slab NCC
+    engine (make_search_sharded_step): the Pallas engines where their
+    geometry probe passes, the matmul formulation otherwise.
 
     videos: (S, F, H, W) uint8/f32 — S lockstep streams of F frames each.
     states: TrackerState with leading stream axis S (sharded over
@@ -374,7 +404,8 @@ def track_video_sharded(
     th, tw = states.template.shape[-2:]
     states = shard_states(mesh, states, P(data_axis))
     step = make_search_sharded_step(
-        mesh, (h, w), (th, tw), config, data_axis, search_axis
+        mesh, (h, w), (th, tw), config, data_axis, search_axis,
+        backend=backend,
     )
     scan_fn = make_sharded_scan_fn(step)
     frame_sharding = NamedSharding(mesh, P(None, data_axis, None, None))

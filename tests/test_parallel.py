@@ -292,6 +292,34 @@ def test_track_video_sharded_matches_unsharded():
     )
 
 
+def test_track_video_sharded_backend_arg():
+    """Round 4: the sharded step's per-slab engine is selectable.  On this
+    CPU mesh the Pallas probe fails at the slab geometry and the registry
+    chain collapses to the matmul engine, so trajectories must equal the
+    default engine's (on TPU the probe passes and the shear kernel scores
+    the slabs instead)."""
+    from pvot.parallel.sharded import track_video_sharded
+
+    spec_a, video_a, roi_a, templ_a = _setup(9)
+    h, w = video_a.shape[1:]
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "search"))
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        init_state(jnp.asarray(templ_a), roi_a),
+        init_state(jnp.asarray(templ_a), roi_a),
+    )
+    videos = np.stack([video_a[1:], video_a[1:]])
+    _, want = track_video_sharded(videos, states, mesh, CFG, chunk_size=6)
+    _, got = track_video_sharded(
+        videos, states, mesh, CFG, chunk_size=6, backend="pallas_shear"
+    )
+    np.testing.assert_array_equal(np.asarray(want.bbox), np.asarray(got.bbox))
+    np.testing.assert_array_equal(
+        np.asarray(want.score), np.asarray(got.score)
+    )
+
+
 def test_multi_step_fused_argmax_matches_unfused_pallas(monkeypatch):
     """make_multi_step with a backend that supplies a region_argmax_fn (the
     Pallas engine) vmaps the fused on-chip reduction; it must match the
