@@ -863,6 +863,14 @@ def bench_occlusion(periods=(0, 256, 128, 64), *, width=1280, height=720,
 
     period=0 is the clean baseline.  The mega/scan FPS ratio per period
     locates the poison-rate crossover documented in docs/PERFORMANCE.md.
+
+    The clip is STAGED on device once before timing (first run of this row
+    passed host numpy per run and measured the relay tunnel: 16-23 FPS at
+    ~15 MB/s of re-upload per run, three orders below the tracker) — the
+    drivers accept device-resident frames as of round 4
+    (pvot.tracker.scan.as_frames).  What remains in the timing is real
+    algorithm cost: the per-transaction-round packed record fetch plus the
+    rollback re-compute.
     """
     import jax
     import jax.numpy as jnp
@@ -886,6 +894,8 @@ def bench_occlusion(periods=(0, 256, 128, 64), *, width=1280, height=720,
         x, y, w, h = target_bbox(spec, 0)
         template = gray_u8_to_f32(frames[0])[y : y + h, x : x + w]
         state = init_state(jnp.asarray(template), (x, y, w, h))
+        staged = jax.device_put(frames[1:])
+        jax.block_until_ready(staged)
 
         recs = {}
         for engine in ("mega", "scan"):
@@ -896,10 +906,10 @@ def bench_occlusion(periods=(0, 256, 128, 64), *, width=1280, height=720,
             def run():
                 if engine == "mega":
                     return track_video_mega(
-                        frames[1:], state, config, chunk_size=chunk_size,
+                        staged, state, config, chunk_size=chunk_size,
                     )
                 return track_video(
-                    frames[1:], state, config, strategy="fused",
+                    staged, state, config, strategy="fused",
                     backend="pallas_shear", chunk_size=chunk_size,
                 )
 

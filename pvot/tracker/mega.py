@@ -39,7 +39,7 @@ from pvot.ops.ncc_mega import (
     mega_track_chunk_objects,
 )
 from pvot.ops.ncc_reference import template_stats
-from pvot.tracker.scan import track_video
+from pvot.tracker.scan import as_frames, pad_tail, track_video
 from pvot.tracker.state import StepOutput, TrackerState
 
 _SUPPORT_CACHE: dict = {}
@@ -158,9 +158,11 @@ def track_video_mega(
     Falls back to the scan path wholesale when the geometry/dtype is outside
     the mega envelope or the per-geometry probe fails, and per-chunk when a
     chunk poisons (global-search semantics).  Returns exactly what
-    pvot.tracker.scan.track_video returns.
+    pvot.tracker.scan.track_video returns.  Device-resident frames are
+    accepted (pvot.tracker.scan.as_frames): chunks then slice on device and
+    poison re-runs never re-upload data already on chip.
     """
-    frames = np.asarray(frames)
+    frames = as_frames(frames)
     if frames.ndim != 3:
         raise ValueError(f"expected (F, H, W) frames, got {frames.shape}")
     f, h, w = frames.shape
@@ -214,8 +216,7 @@ def track_video_mega(
             chunk = frames[j * cs : (j + 1) * cs]
             n_real = chunk.shape[0]
             if n_real < cs:
-                pad = np.repeat(chunk[-1:], cs - n_real, axis=0)
-                chunk = np.concatenate([chunk, pad], axis=0)
+                chunk = pad_tail(chunk, cs - n_real)
             snapshots.append(st)
             rows, tplout = mega_track_chunk(
                 jax.device_put(chunk),
@@ -389,8 +390,9 @@ def track_streams_mega(
     convention).  Poison (global-search) semantics are per stream: only
     the poisoned stream re-runs from its last good chunk, through
     track_video_mega (scan path for the poisoned chunk, mega again after).
+    Device-resident videos are accepted (pvot.tracker.scan.as_frames).
     """
-    videos = np.asarray(videos)
+    videos = as_frames(videos)
     if videos.ndim != 4:
         raise ValueError(f"expected (S, F, H, W) videos, got {videos.shape}")
     s_streams, f, h, w = videos.shape
@@ -420,8 +422,7 @@ def track_streams_mega(
         chunk = videos[:, j * cs : (j + 1) * cs]
         n_real = chunk.shape[1]
         if n_real < cs:
-            pad = np.repeat(chunk[:, -1:], cs - n_real, axis=1)
-            chunk = np.concatenate([chunk, pad], axis=1)
+            chunk = pad_tail(chunk, cs - n_real, axis=1)
         snapshots.append(st)
         rows, tplout = mega_track_chunk_multi(
             jax.device_put(chunk),
@@ -572,9 +573,10 @@ def track_objects_mega(
     per object: only the poisoned object re-runs its chunk on the scan
     path from its chunk-start snapshot; because every object reads the
     same clip, the fallback is the single-object driver per poisoned
-    object.
+    object.  Device-resident frames are accepted
+    (pvot.tracker.scan.as_frames).
     """
-    frames = np.asarray(frames)
+    frames = as_frames(frames)
     if frames.ndim != 3:
         raise ValueError(f"expected (F, H, W) frames, got {frames.shape}")
     f, h, w = frames.shape
@@ -607,8 +609,7 @@ def track_objects_mega(
         chunk = frames[j * cs : (j + 1) * cs]
         n_real = chunk.shape[0]
         if n_real < cs:
-            pad = np.repeat(chunk[-1:], cs - n_real, axis=0)
-            chunk = np.concatenate([chunk, pad], axis=0)
+            chunk = pad_tail(chunk, cs - n_real)
         snapshots.append(st)
         rows, tplout = mega_track_chunk_objects(
             jax.device_put(chunk),

@@ -68,6 +68,29 @@ def make_masked_scan_fn(step, donate: bool = False, unroll: int = 1):
     return jax.jit(scan_chunk, donate_argnums=(0,) if donate else ())
 
 
+def as_frames(frames):
+    """Normalize a frames argument: host inputs become numpy; DEVICE-RESIDENT
+    jax arrays stay put (round 4).  Pre-staged clips then slice/pad on device
+    and re-tracking never re-crosses the host->device link — on the relay
+    tunnel (~10-15 MB/s measured) a 1024-frame 720p clip is ~60 s of transfer
+    per run, three orders of magnitude more than the tracking itself, and the
+    poison-rollback path used to re-upload chunks that were already on chip."""
+    if isinstance(frames, jax.Array):
+        return frames
+    return np.asarray(frames)
+
+
+def pad_tail(chunk, n_pad: int, axis: int = 0):
+    """Repeat the last frame along `axis` n_pad times — numpy for host
+    chunks, jnp (on device, no host round trip) for device-resident ones."""
+    xp = jnp if isinstance(chunk, jax.Array) else np
+    last = xp.take(chunk, chunk.shape[axis] - 1, axis=axis)
+    last = xp.expand_dims(last, axis)
+    return xp.concatenate(
+        [chunk, xp.repeat(last, n_pad, axis=axis)], axis=axis
+    )
+
+
 # Compiled-scan cache: geometry + config + strategy/backend + chunk layout.
 _SCAN_CACHE = {}
 
@@ -171,9 +194,10 @@ def track_video(
 
     Frames are shipped to the device in chunks; each chunk is one scanned
     dispatch.  Enqueueing is async, so the host uploads chunk k+1 while the
-    TPU scans chunk k.
+    TPU scans chunk k.  Device-resident frames (a jax.Array) are accepted
+    and never re-cross the link (as_frames).
     """
-    frames = np.asarray(frames)
+    frames = as_frames(frames)
     if frames.ndim != 3:
         raise ValueError(f"expected (F, H, W) frames, got {frames.shape}")
     if backend == "mega" and step is None:
@@ -205,8 +229,7 @@ def track_video(
         chunk = frames[start : start + chunk_size]
         n_real = chunk.shape[0]
         if n_real < chunk_size:  # pad the tail; padded frames are masked out
-            pad = np.repeat(chunk[-1:], chunk_size - n_real, axis=0)
-            chunk = np.concatenate([chunk, pad], axis=0)
+            chunk = pad_tail(chunk, chunk_size - n_real)
         valid = np.arange(chunk_size) < n_real
         state, out = scan_fn(state, jax.device_put(chunk), jax.device_put(valid))
         outs.append(jax.tree.map(lambda a: a[:n_real], out))
