@@ -142,6 +142,7 @@ def _mega_kernel(
     g: MegaGeometry,
     config: TrackerConfig,
     highest: bool = True,
+    score_passes: int = 3,
     multi: bool = False,
     shared_frames: bool = False,
 ):
@@ -322,7 +323,8 @@ def _mega_kernel(
             # value — keeping the RHS a VALUE, the shear precision
             # caution).
             wh = w.astype(jnp.bfloat16)
-            wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+            if score_passes != 2:
+                wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
         for p in range(8):
             if 8 * k + p >= th:
                 break
@@ -348,7 +350,18 @@ def _mega_kernel(
                         preferred_element_type=jnp.float32,
                     )
 
-                t1p = d1(wh, tth) + d1(wh, ttl) + d1(wl, tth)
+                if score_passes == 2:
+                    # 2-pass tier (round 4): drop the wl@tth term — the
+                    # window becomes effectively bf16 (its low half carries
+                    # only the u8/255-quantization residue, |wl| <= 2^-9),
+                    # while the EMA-evolved template keeps full hi+lo
+                    # precision.  Expected score perturbation ~1e-4;
+                    # adopted/rejected purely on the measured trajectory
+                    # guard (tools/mega_fast_ab.py round-4 verdict in
+                    # docs/PERFORMANCE.md).
+                    t1p = d1(wh, tth) + d1(wh, ttl)
+                else:
+                    t1p = d1(wh, tth) + d1(wh, ttl) + d1(wl, tth)
             for xt in range(g.nx):
                 o = xt * nseg + p
                 acc_l[xt] = acc_l[xt] + t1p[o : o + ty, :]
@@ -466,6 +479,7 @@ def _mega_kernel(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
+        "score_passes",
     ),
 )
 def mega_track_chunk(
@@ -482,6 +496,7 @@ def mega_track_chunk(
     config: TrackerConfig,
     interpret: bool = False,
     highest: bool = True,
+    score_passes: int = 3,
 ):
     """Run one chunk through the mega-kernel.
 
@@ -538,6 +553,7 @@ def mega_track_chunk(
     box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
+        score_passes=score_passes,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5  # u8 slab + one f32 copy
@@ -585,6 +601,7 @@ def mega_track_chunk(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
+        "score_passes",
     ),
 )
 def mega_track_chunk_multi(
@@ -601,6 +618,7 @@ def mega_track_chunk_multi(
     config: TrackerConfig,
     interpret: bool = False,
     highest: bool = True,
+    score_passes: int = 3,
 ):
     """S independent streams through ONE pallas_call: grid (S, F), frame
     axis innermost, so stream s's frames run back to back and the kernel's
@@ -659,7 +677,8 @@ def mega_track_chunk_multi(
     )  # (S, 8)
     box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
     kernel = functools.partial(
-        _mega_kernel, g=g, config=config, highest=highest, multi=True
+        _mega_kernel, g=g, config=config, highest=highest,
+        score_passes=score_passes, multi=True
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5
@@ -719,6 +738,7 @@ def mega_track_chunk_multi(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
+        "score_passes",
     ),
 )
 def mega_track_chunk_objects(
@@ -735,6 +755,7 @@ def mega_track_chunk_objects(
     config: TrackerConfig,
     interpret: bool = False,
     highest: bool = True,
+    score_passes: int = 3,
 ):
     """K independent trackers over ONE shared clip in ONE pallas_call —
     the MULTI-OBJECT mega path (the reference's never-implemented 150%
@@ -790,8 +811,8 @@ def mega_track_chunk_objects(
     )  # (K, 8)
     box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
     kernel = functools.partial(
-        _mega_kernel, g=g, config=config, highest=highest, multi=True,
-        shared_frames=True,
+        _mega_kernel, g=g, config=config, highest=highest,
+        score_passes=score_passes, multi=True, shared_frames=True,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5

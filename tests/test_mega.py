@@ -102,6 +102,48 @@ def test_mega_poison_reruns_global_frames():
     assert bool(got_state.use_global) == bool(want_state.use_global)
 
 
+def test_device_resident_frames_match_host():
+    """Round 4: the drivers accept DEVICE-RESIDENT frames (a jax.Array stays
+    put, chunks slice/pad on device, poison re-runs never re-upload —
+    pvot.tracker.scan.as_frames).  Exercises the tail-pad path (13 frames,
+    chunk 4) and the poison-rollback path on an exit/re-enter clip; records
+    and final state must bit-match the host-numpy runs."""
+    import jax
+
+    spec = SyntheticSpec(
+        width=250, height=94, num_frames=18, target_w=16, target_h=16,
+        seed=5, exit_and_reenter=True,
+    )
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    frames, state = _setup(spec)
+    staged = jax.device_put(frames[1:])
+
+    want_state, want = track_video(
+        frames[1:], state, config, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    got_state, got = track_video(
+        staged, state, config, strategy="fused", backend="xla", chunk_size=4,
+    )
+    _assert_equal(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+
+    want_state, want = track_video_mega(
+        frames[1:], state, config, chunk_size=4, scan_backend="xla",
+        interpret=True,
+    )
+    got_state, got = track_video_mega(
+        staged, state, config, chunk_size=4, scan_backend="xla",
+        interpret=True,
+    )
+    assert want.used_global.any(), "fixture must actually trigger global"
+    _assert_equal(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+    assert bool(got_state.use_global) == bool(want_state.use_global)
+
+
 def test_mega_span_tiled_matches_scan_path():
     """Round 4: spans wider than one TX output tile (nx=2) AND taller than
     128 rows (ty=136) run the span-tiled score pass with the exact
@@ -223,6 +265,22 @@ def test_mega_fast_tier_and_prepad():
         np.asarray(rows_hi[:, 4]) - np.asarray(rows_fast[:, 4])
     )))
     assert drift < 1e-4, drift
+    # 2-pass tier (round 4): window effectively bf16, template hi+lo;
+    # same trajectory on the fixture, score drift one bf16 rounding wider.
+    rows_f2, _ = mega_track_chunk(
+        jnp.asarray(frames[1:9]), *args, highest=False, score_passes=2, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rows_hi[:, :4]), np.asarray(rows_f2[:, :4])
+    )
+    drift2 = float(np.max(np.abs(
+        np.asarray(rows_hi[:, 4]) - np.asarray(rows_f2[:, 4])
+    )))
+    # ~1.1e-3 measured on this 16x16-template fixture (score drift scales
+    # like 1/sqrt(n); the 80x80 headline template sits well under 1e-3) —
+    # the real guards are bbox bit-equality above and the on-chip
+    # ground-truth check per run.
+    assert drift2 < 4e-3, drift2
     g = MegaGeometry((94, 250), (16, 16), CONFIG)
     prepad = np.zeros((8, g.pad_h, g.pad_w), np.uint8)
     prepad[:, :94, :250] = frames[1:9]
