@@ -342,7 +342,7 @@ def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
 
 def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
                             num_frames=256, chunk_size=64, highest=True,
-                            passes=1):
+                            passes=1, batch=1):
     """Serving on the MULTI-STREAM mega kernel: every chunk of every stream
     in ONE pallas_call (grid (S, F), pvot.ops.ncc_mega.mega_track_chunk_multi).
 
@@ -427,7 +427,7 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
                     st.template, st.t_mean, st.t_std, st.lost_count,
                     st.use_global, n_valid,
                     frame_shape=(height, width), templ_shape=(h, w),
-                    config=config, highest=highest,
+                    config=config, highest=highest, batch=batch,
                 )
                 st = extract(rows, tplout)
                 rows_all.append(rows)
@@ -439,17 +439,34 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
 
     host, elapsed = _stage_flip_time(lambda: run(False), lambda: run(True))
     bboxes = host[:, :, O_BX : O_BX + 4].astype(np.int32)  # (S, P*F, 4)
+    # Batch (C10) semantics: only every batch-th frame is scored; skipped
+    # look-ahead rows re-emit the pre-batch bbox (score -1, checked below),
+    # so ground truth applies at the scored frames.
     errs = [
         abs(int(bboxes[s, i, 0]) - target_bbox(spec, (i % num_frames) + 1)[0])
         + abs(int(bboxes[s, i, 1]) - target_bbox(spec, (i % num_frames) + 1)[1])
         for s in range(num_streams)
         for i in range(num_frames * passes)
+        if (i % num_frames) % batch == batch - 1
     ]
+    if batch > 1:
+        from pvot.ops.ncc_mega import O_SCORE
+
+        skipped = np.asarray([
+            host[s, i, O_SCORE]
+            for s in range(num_streams)
+            for i in range(num_frames * passes)
+            if (i % num_frames) % batch != batch - 1
+        ])
+        assert (skipped == -1.0).all(), "look-ahead rows must not score"
     fps = num_frames * passes / elapsed
-    flops = fused_region_flops(templ, 60)
+    flops = fused_region_flops(templ, 60) / batch  # scored frames only
     achieved = flops * fps * num_streams
+    name = f"multi_stream_{num_streams}x_{height}p"
+    if batch > 1:
+        name = f"multi_stream_{num_streams}x_batch{batch}_{height}p"
     return {
-        "config": f"multi_stream_{num_streams}x_{height}p",
+        "config": name,
         "backend": "mega" if highest else "mega_fast",
         "value": round(fps, 2),
         "unit": "frames/s per stream (lockstep)",
@@ -706,7 +723,7 @@ def bench_multi_object_mega(num_objects=8, width=1280, height=720, templ=80,
                     st.template, st.t_mean, st.t_std, st.lost_count,
                     st.use_global, n_valid,
                     frame_shape=(height, width), templ_shape=(h, w),
-                    config=config, highest=highest,
+                    config=config, highest=highest, batch=batch,
                 )
                 st = extract(rows, tplout)
                 rows_all.append(rows)
@@ -1037,6 +1054,12 @@ CONFIGS = {
     # Streams x batch combined (C10 parity semantics: one update / N frames).
     "8": lambda frames: bench_multi_stream(
         32, num_frames=128, chunk_size=16, frames_per_step=4
+    ),
+    # Streams x batch ON THE MEGA GRID (round 4: the in-kernel batch
+    # cadence — skipped look-ahead frames cost nothing; config 8 is the
+    # scan-path analog, which never materializes the skipped frames).
+    "8m": lambda frames: bench_multi_stream_mega(
+        32, num_frames=128, chunk_size=16, passes=4, batch=4
     ),
     # Hand-written Pallas engine (--shared/--const/--const_tiled).
     "9": lambda frames: bench_pallas(),

@@ -247,6 +247,7 @@ def _track_stream_mega(
     timings: Optional[list],
     scan_backend: str = "pallas_shear",
     interpret: bool = False,  # tests drive the Pallas interpreter on CPU
+    batch: int = 1,
 ):
     """track_stream's mega path: one pallas_call per chunk.
 
@@ -255,7 +256,12 @@ def _track_stream_mega(
     and if any frame poisoned (global-search branch), re-run exactly that
     chunk through the scan engine from the chunk-start snapshot before
     advancing — semantics stay identical to the scan path on every frame
-    (pvot.tracker.mega docstring)."""
+    (pvot.tracker.mega docstring).
+
+    batch > 1 (power of two; the caller guarantees chunk_size % batch == 0)
+    runs the reference's look-ahead batch cadence IN the kernel
+    (pvot.ops.ncc_mega batch param); a poisoned chunk rolls back onto the
+    BATCHED scan path so the cadence survives the transaction."""
     import jax
     import jax.numpy as jnp
 
@@ -290,7 +296,7 @@ def _track_stream_mega(
                 state.template, state.t_mean, state.t_std,
                 state.lost_count, state.use_global, jnp.int32(n_real),
                 frame_shape=(h, w), templ_shape=(th, tw), config=config,
-                interpret=interpret,
+                interpret=interpret, batch=batch,
             )
             state = state_extract(rows, tplout)
             rows.copy_to_host_async()
@@ -298,21 +304,31 @@ def _track_stream_mega(
             if (host_rows[:, O_POISON] != 0.0).any():
                 # Transaction rollback: this chunk re-runs on the scan path
                 # (exact global-search semantics); the next chunk resumes
-                # from its final state.
-                if scan_fn is None:
-                    scan_fn = _cached_masked_scan(
-                        (h, w), (th, tw), config, "fused", scan_backend,
-                        "uint8", chunk_size,
+                # from its final state.  Batch cadence rolls back onto the
+                # BATCHED scan step (same per-frame output contract).
+                if batch > 1:
+                    from pvot.tracker.scan import track_video_batched
+
+                    state, out = track_video_batched(
+                        np.asarray(chunk[:n_real]), snapshot, config,
+                        batch_size=batch, backend=scan_backend,
                     )
-                valid = np.arange(chunk_size) < n_real
-                # The scan path consumes WIRE-SIZE frames — re-ship the
-                # unpadded chunk, not the pre-padded staging buffer.
-                state, out = scan_fn(
-                    snapshot, jax.device_put(chunk), jax.device_put(valid)
-                )
-                outs.append(
-                    jax.tree.map(lambda a: np.asarray(a[:n_real]), out)
-                )
+                    outs.append(out)
+                else:
+                    if scan_fn is None:
+                        scan_fn = _cached_masked_scan(
+                            (h, w), (th, tw), config, "fused", scan_backend,
+                            "uint8", chunk_size,
+                        )
+                    valid = np.arange(chunk_size) < n_real
+                    # The scan path consumes WIRE-SIZE frames — re-ship the
+                    # unpadded chunk, not the pre-padded staging buffer.
+                    state, out = scan_fn(
+                        snapshot, jax.device_put(chunk), jax.device_put(valid)
+                    )
+                    outs.append(
+                        jax.tree.map(lambda a: np.asarray(a[:n_real]), out)
+                    )
             else:
                 outs.append(_rows_to_output(host_rows))
             now = time.perf_counter()
@@ -359,6 +375,21 @@ def track_stream_batched(
     h, w = frame_shape
     th, tw = state.template.shape
     group = max(1, chunks_per_dispatch)
+    if backend == "mega" and strategy == "fused":
+        # Round 4: batch semantics compose with the mega grid — the kernel
+        # scores only every n-th frame (power-of-two cadence mask), skipped
+        # look-ahead frames cost nothing.  Round 3 degraded this to the
+        # shear scan engine via the registry.
+        from pvot.tracker.mega import mega_supported
+
+        if n > 1 and (n & (n - 1)) == 0 and mega_supported(
+            (h, w), (th, tw), config, batch=n
+        ):
+            return _track_stream_mega(
+                frame_iter, state, frame_shape, config, n * group, timings,
+                batch=n,
+            )
+        backend = "pallas_shear"
     scan_fn = make_batched_scan_fn(
         (h, w), (th, tw), config, n, strategy, backend
     )

@@ -145,6 +145,7 @@ def _mega_kernel(
     score_passes: int = 3,
     multi: bool = False,
     shared_frames: bool = False,
+    batch: int = 1,
 ):
     # multi=False: grid (F,) — one stream, scratch is the frame-loop carry.
     # multi=True: grid (S, F), frame axis innermost — streams run back to
@@ -173,12 +174,6 @@ def _mega_kernel(
         frame_idx = t
         sf0 = lambda i: sf0_ref[i]  # noqa: E731
         si0 = lambda i: si0_ref[i]  # noqa: E731
-    th, tw, ty = g.th, g.tw, g.ty
-    tile_lanes, m_lanes = g.tile_lanes, g.m_lanes
-    n = float(th * tw)
-    lr = float(config.template_update_lr)
-    half_w, half_h = tw // 2, th // 2
-    rx, ry = int(config.search_radius_x), int(config.search_radius_y)
 
     @pl.when(t == 0)
     def _():
@@ -196,6 +191,73 @@ def _mega_kernel(
     lost, useg = si_ref[4], si_ref[5]
     poisoned = si_ref[6]
     n_valid = si0(6)
+
+    if batch > 1:
+        # Batch (look-ahead) semantics, C10 / main.cpp:362-392: only the
+        # LAST frame of each full batch is scored+committed; the others
+        # emit the pre-batch bbox with score -1 and touch no state.  The
+        # driver guarantees chunk_size % batch == 0 (cadence is relative
+        # to chunk start) and passes n_full = (n_valid // batch) * batch
+        # in si0 slot 7 (Mosaic rejects in-kernel division, so the
+        # power-of-two cadence test is a mask and the full-batch bound is
+        # precomputed on the host).  Frames past n_full are the
+        # reference's end-of-video partial batch (leftover_tail).
+        score_this = ((t & (batch - 1)) == (batch - 1)) & (t < si0(7))
+    else:
+        score_this = None
+
+    def scored_frame():
+        _scored_frame_body(
+            frames_hbm, box_ref, out_ref, slab_ref, tpl_ref, sf_ref, si_ref,
+            sem, g=g, config=config, highest=highest,
+            score_passes=score_passes, t=t, frame_idx=frame_idx,
+            bx=bx, by=by, bw=bw, bh=bh, lost=lost, useg=useg,
+            poisoned=poisoned, n_valid=n_valid,
+        )
+
+    if batch == 1:
+        scored_frame()
+    else:
+        pl.when(score_this)(scored_frame)
+
+        @pl.when(jnp.logical_not(score_this))
+        def _():
+            # Look-ahead row: current (pre-batch) state, no score, no
+            # update; poison stays sticky so the driver still sees it on
+            # every row of a poisoned chunk's tail.
+            lane = lax.broadcasted_iota(jnp.int32, (8, TX), 1)
+            f32 = jnp.float32
+            out_ref[:, :] = (
+                jnp.where(lane == O_BX, bx.astype(f32), 0.0)
+                + jnp.where(lane == O_BY, by.astype(f32), 0.0)
+                + jnp.where(lane == O_BW, bw.astype(f32), 0.0)
+                + jnp.where(lane == O_BH, bh.astype(f32), 0.0)
+                + jnp.where(lane == O_SCORE, f32(-1.0), 0.0)
+                + jnp.where(lane == O_POISON, poisoned.astype(f32), 0.0)
+                + jnp.where(lane == O_LOST, lost.astype(f32), 0.0)
+                + jnp.where(lane == O_USEG, useg.astype(f32), 0.0)
+            )
+
+    @pl.when(t == num_t - 1)
+    def _():
+        tplout_ref[:, :] = tpl_ref[:, :]
+
+
+def _scored_frame_body(
+    frames_hbm, box_ref, out_ref, slab_ref, tpl_ref, sf_ref, si_ref, sem,
+    *, g, config, highest, score_passes, t, frame_idx,
+    bx, by, bw, bh, lost, useg, poisoned, n_valid,
+):
+    """One scored frame: mode selection, slab DMA, shear NCC, masked
+    argmax, confidence gate + bbox commit, template EMA, record emit.
+    Factored out of _mega_kernel so batch mode can gate it under pl.when
+    (skipped look-ahead frames do none of this work)."""
+    th, tw, ty = g.th, g.tw, g.ty
+    tile_lanes, m_lanes = g.tile_lanes, g.m_lanes
+    n = float(th * tw)
+    lr = float(config.template_update_lr)
+    half_w, half_h = tw // 2, th // 2
+    rx, ry = int(config.search_radius_x), int(config.search_radius_y)
 
     # --- Mode selection (pvot.tracker.step / main.cpp:399-413); >> 1
     # replaces // 2 (non-negative here; Mosaic rejects in-kernel division,
@@ -470,16 +532,12 @@ def _mega_kernel(
     )
     out_ref[:, :] = outvec
 
-    @pl.when(t == num_t - 1)
-    def _():
-        tplout_ref[:, :] = tpl_ref[:, :]
-
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
-        "score_passes",
+        "score_passes", "batch",
     ),
 )
 def mega_track_chunk(
@@ -497,6 +555,7 @@ def mega_track_chunk(
     interpret: bool = False,
     highest: bool = True,
     score_passes: int = 3,
+    batch: int = 1,
 ):
     """Run one chunk through the mega-kernel.
 
@@ -513,7 +572,15 @@ def mega_track_chunk(
     frames_u8 may arrive pre-padded to (F, g.pad_h, g.pad_w): staging the
     pad on the host moves its ~2 GB/chunk device copy out of the hot path
     (tools/mega_dispatch_ab.py attribution).
+
+    batch > 1 (power of two; the in-kernel cadence is a mask) runs the
+    reference's look-ahead batch semantics IN the kernel: only every
+    batch-th frame is scored+committed, the rest emit the pre-batch bbox
+    with score -1 at zero marginal cost (no slab DMA, no score loop).
+    The caller must slice chunks at batch boundaries.
     """
+    if batch < 1 or (batch & (batch - 1)):
+        raise ValueError(f"mega batch must be a power of two, got {batch}")
     g = MegaGeometry(frame_shape, templ_shape, config)
     f = frames_u8.shape[0]
     if frames_u8.shape[1:] == (g.pad_h, g.pad_w):
@@ -541,19 +608,20 @@ def mega_track_chunk(
             jnp.float32(0), jnp.float32(0),
         ]
     )
+    nv = n_valid.astype(jnp.int32)
     si0 = jnp.stack(
         [
             bbox[0], bbox[1], bbox[2], bbox[3],
             lost_count.astype(jnp.int32),
             use_global.astype(jnp.int32),
-            n_valid.astype(jnp.int32),
-            jnp.int32(0),
+            nv,
+            (nv // batch) * batch,  # n_full: full-batch scored bound
         ]
     )
     box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
-        score_passes=score_passes,
+        score_passes=score_passes, batch=batch,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5  # u8 slab + one f32 copy
@@ -601,7 +669,7 @@ def mega_track_chunk(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
-        "score_passes",
+        "score_passes", "batch",
     ),
 )
 def mega_track_chunk_multi(
@@ -619,6 +687,7 @@ def mega_track_chunk_multi(
     interpret: bool = False,
     highest: bool = True,
     score_passes: int = 3,
+    batch: int = 1,
 ):
     """S independent streams through ONE pallas_call: grid (S, F), frame
     axis innermost, so stream s's frames run back to back and the kernel's
@@ -664,21 +733,23 @@ def mega_track_chunk_multi(
         ],
         axis=-1,
     )  # (S, 8)
-    izeros = jnp.zeros((s_streams,), jnp.int32)
+    if batch < 1 or (batch & (batch - 1)):
+        raise ValueError(f"mega batch must be a power of two, got {batch}")
+    nv = n_valid.astype(jnp.int32)
     si0 = jnp.stack(
         [
             bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3],
             lost_count.astype(jnp.int32),
             use_global.astype(jnp.int32),
-            n_valid.astype(jnp.int32),
-            izeros,
+            nv,
+            (nv // batch) * batch,  # per-stream n_full (batch semantics)
         ],
         axis=-1,
     )  # (S, 8)
     box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
-        score_passes=score_passes, multi=True
+        score_passes=score_passes, multi=True, batch=batch,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5
@@ -738,7 +809,7 @@ def mega_track_chunk_multi(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
-        "score_passes",
+        "score_passes", "batch",
     ),
 )
 def mega_track_chunk_objects(
@@ -756,6 +827,7 @@ def mega_track_chunk_objects(
     interpret: bool = False,
     highest: bool = True,
     score_passes: int = 3,
+    batch: int = 1,
 ):
     """K independent trackers over ONE shared clip in ONE pallas_call —
     the MULTI-OBJECT mega path (the reference's never-implemented 150%
@@ -798,14 +870,16 @@ def mega_track_chunk_objects(
         ],
         axis=-1,
     )  # (K, 8)
-    izeros = jnp.zeros((k_objects,), jnp.int32)
+    if batch < 1 or (batch & (batch - 1)):
+        raise ValueError(f"mega batch must be a power of two, got {batch}")
+    nv = n_valid.astype(jnp.int32)
     si0 = jnp.stack(
         [
             bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3],
             lost_count.astype(jnp.int32),
             use_global.astype(jnp.int32),
-            n_valid.astype(jnp.int32),
-            izeros,
+            nv,
+            (nv // batch) * batch,  # per-object n_full (batch semantics)
         ],
         axis=-1,
     )  # (K, 8)
@@ -813,6 +887,7 @@ def mega_track_chunk_objects(
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
         score_passes=score_passes, multi=True, shared_frames=True,
+        batch=batch,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5

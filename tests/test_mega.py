@@ -670,3 +670,112 @@ def test_mega_multi_object_scan_fallback():
     for k in range(2):
         np.testing.assert_array_equal(want.bbox, got.bbox[:, k])
         np.testing.assert_allclose(want.score, got.score[:, k], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Batch (look-ahead, C10) semantics composed with the mega grid (round 4):
+# only every batch-th frame is scored in-kernel; the rest emit the pre-batch
+# bbox with score -1 at zero marginal cost.  Oracle: the batched scan path
+# (pvot.tracker.scan.track_video_batched, main.cpp:362-392 semantics).
+# ---------------------------------------------------------------------------
+
+
+def test_mega_batch_matches_scan_batch():
+    """batch=4 over 23 frames (chunk 8): 5 full batches + 3 leftover frames
+    must bit-match the batched scan path, including the leftover tail's
+    score=-1 / no-update rows."""
+    from pvot.tracker.scan import track_video_batched
+
+    spec = SyntheticSpec(
+        width=250, height=94, num_frames=24, target_w=16, target_h=16,
+        seed=3, noise_std=1.0,
+    )
+    frames, state = _setup(spec)
+    want_state, want = track_video_batched(
+        frames[1:], state, CONFIG, batch_size=4, backend="xla",
+    )
+    got_state, got = track_video_mega(
+        frames[1:], state, CONFIG, chunk_size=8, scan_backend="xla",
+        interpret=True, batch=4,
+    )
+    assert got.bbox.shape == want.bbox.shape == (23, 4)
+    _assert_equal(want, got)
+    assert (got.score[:3] == -1.0).all()  # look-ahead rows
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+    assert int(got_state.lost_count) == int(want_state.lost_count)
+    np.testing.assert_allclose(
+        np.asarray(got_state.template), np.asarray(want_state.template),
+        atol=1e-6,
+    )
+
+
+def test_mega_batch_poison_reruns_on_batched_scan():
+    """A lost-object clip in batch mode must poison and re-run through the
+    BATCHED scan path (cadence preserved across the rollback)."""
+    from pvot.tracker.scan import track_video_batched
+
+    spec = SyntheticSpec(
+        width=250, height=94, num_frames=18, target_w=16, target_h=16,
+        seed=5, exit_and_reenter=True,
+    )
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=1
+    )
+    frames, state = _setup(spec)
+    want_state, want = track_video_batched(
+        frames[1:], state, config, batch_size=2, backend="xla",
+    )
+    got_state, got = track_video_mega(
+        frames[1:], state, config, chunk_size=4, scan_backend="xla",
+        interpret=True, batch=2,
+    )
+    assert want.used_global.any(), "fixture must actually trigger global"
+    _assert_equal(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+    assert bool(got_state.use_global) == bool(want_state.use_global)
+
+
+def test_mega_multi_stream_batch_matches_per_stream():
+    """Streams x batch on the multi-stream mega grid: each stream must
+    match its own batched scan run (the 32-streams-x-batch-4 serving row's
+    semantics, at test scale)."""
+    import jax
+
+    from pvot.tracker.mega import track_streams_mega
+    from pvot.tracker.scan import track_video_batched
+
+    spec = SyntheticSpec(
+        width=250, height=94, num_frames=24, target_w=16, target_h=16,
+        seed=3, noise_std=1.0,
+    )
+    frames, state = _setup(spec)
+    videos = np.stack([frames[1:], frames[1:][::-1].copy()])
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *[state, state])
+    got_states, got = track_streams_mega(
+        videos, stacked, CONFIG, chunk_size=8, scan_backend="xla",
+        interpret=True, batch=4,
+    )
+    for s in range(2):
+        want_state, want = track_video_batched(
+            videos[s], state, CONFIG, batch_size=4, backend="xla",
+        )
+        np.testing.assert_array_equal(want.bbox, got.bbox[:, s])
+        np.testing.assert_array_equal(want.updated, got.updated[:, s])
+        np.testing.assert_allclose(want.score, got.score[:, s], atol=1e-5)
+        assert int(got_states.bbox_x[s]) == int(want_state.bbox_x)
+
+
+def test_mega_batch_non_pow2_falls_back():
+    """batch=3 has no in-kernel cadence mask (Mosaic rejects division):
+    the driver must fall back to the batched scan path, same results."""
+    from pvot.tracker.scan import track_video_batched
+
+    frames, state = _setup(SPEC)
+    want_state, want = track_video_batched(
+        frames[1:], state, CONFIG, batch_size=3, backend="pallas_shear",
+    )
+    got_state, got = track_video_mega(
+        frames[1:], state, CONFIG, chunk_size=4, interpret=True, batch=3,
+    )
+    _assert_equal(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
