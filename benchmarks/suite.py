@@ -895,11 +895,15 @@ def bench_occlusion(periods=(0, 256, 128, 64), *, width=1280, height=720,
     from pvot.config import TrackerConfig
     from pvot.io.gray import gray_u8_to_f32
     from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
-    from pvot.tracker.mega import track_video_mega
+    from pvot.tracker.mega import mega_mode, track_video_mega
     from pvot.tracker.scan import track_video
     from pvot.tracker.state import init_state
 
     config = TrackerConfig(lost_frame_threshold=lost_threshold)
+    # Which kernel the auto mode serves at this geometry (round 4: True =
+    # in-kernel global search, False = poison transactions) — recorded per
+    # row so the results table says WHICH occlusion story it tells.
+    mode = mega_mode((height, width), (templ, templ), config)
     out = []
     for period in periods:
         spec = SyntheticSpec(
@@ -956,6 +960,8 @@ def bench_occlusion(periods=(0, 256, 128, 64), *, width=1280, height=720,
             "global_frames": int(np.asarray(mega_out.used_global).sum()),
             "traj_equal_scan": traj_equal,
             "occlusion_period": period,
+            "mega_mode": {True: "inkernel_global", False: "poison",
+                          None: "scan_fallback"}[mode],
         })
         print(json.dumps(out[-1]), flush=True)
     return out

@@ -183,14 +183,21 @@ def track_stream(
     h, w = frame_shape
     th, tw = state.template.shape
     if backend == "mega":
-        from pvot.tracker.mega import mega_supported
+        from pvot.tracker.mega import mega_mode
 
         # The mega kernel implements exactly the fused local-search
         # strategy; other strategies (e.g. "full") run on the scan engines
-        # instead of silently changing semantics.
-        if strategy == "fused" and mega_supported((h, w), (th, tw), config):
+        # instead of silently changing semantics.  mega_mode prefers the
+        # in-kernel global-search kernel (True) — nothing ever poisons —
+        # over the poison-transaction kernel (False).
+        mode = (
+            mega_mode((h, w), (th, tw), config)
+            if strategy == "fused" else None
+        )
+        if mode is not None:
             return _track_stream_mega(
-                frame_iter, state, frame_shape, config, chunk_size, timings
+                frame_iter, state, frame_shape, config, chunk_size, timings,
+                inkernel_global=mode,
             )
         backend = "pallas_shear"
     scan_fn = _cached_masked_scan(
@@ -248,6 +255,7 @@ def _track_stream_mega(
     scan_backend: str = "pallas_shear",
     interpret: bool = False,  # tests drive the Pallas interpreter on CPU
     batch: int = 1,
+    inkernel_global: bool = False,
 ):
     """track_stream's mega path: one pallas_call per chunk.
 
@@ -297,6 +305,7 @@ def _track_stream_mega(
                 state.lost_count, state.use_global, jnp.int32(n_real),
                 frame_shape=(h, w), templ_shape=(th, tw), config=config,
                 interpret=interpret, batch=batch,
+                inkernel_global=inkernel_global,
             )
             state = state_extract(rows, tplout)
             rows.copy_to_host_async()
@@ -380,14 +389,16 @@ def track_stream_batched(
         # scores only every n-th frame (power-of-two cadence mask), skipped
         # look-ahead frames cost nothing.  Round 3 degraded this to the
         # shear scan engine via the registry.
-        from pvot.tracker.mega import mega_supported
+        from pvot.tracker.mega import mega_mode
 
-        if n > 1 and (n & (n - 1)) == 0 and mega_supported(
-            (h, w), (th, tw), config, batch=n
-        ):
+        mode = (
+            mega_mode((h, w), (th, tw), config, batch=n)
+            if n > 1 and (n & (n - 1)) == 0 else None
+        )
+        if mode is not None:
             return _track_stream_mega(
                 frame_iter, state, frame_shape, config, n * group, timings,
-                batch=n,
+                batch=n, inkernel_global=mode,
             )
         backend = "pallas_shear"
     scan_fn = make_batched_scan_fn(

@@ -101,6 +101,7 @@ def serve_streams(
     prepad: bool = True,
     interpret: bool = False,
     _probe: bool = False,
+    inkernel_global=None,
 ):
     """Serve S live frame streams end to end with decode/compute overlap.
 
@@ -147,12 +148,18 @@ def serve_streams(
     Pick False when the host->device link is the binder (e.g. serving at
     rates near the PCIe roofline, or the relay tunnel this repo tests
     over — bit-identical either way, records and trajectories alike).
+
+    inkernel_global (mega path): None = auto — prefer the in-kernel
+    global-search kernel when its probe passes (global frames then commit
+    ON-CHIP: no poison, no rollback re-runs, no pipeline disturbance —
+    the occlusion-regime fix); True/False forces the mode (_probe tests
+    default to the poison kernel unless they opt in).
     """
     if devices is not None and len(devices) > 1:
         return _serve_streams_multidevice(
             frame_iters, states, frame_shape, config, backend, scan_backend,
             chunk_size, timings, highest, pipeline_depth, list(devices),
-            prepad, interpret, _probe,
+            prepad, interpret, _probe, inkernel_global,
         )
     device = devices[0] if devices else None
     from pvot.config import TrackerConfig
@@ -168,17 +175,25 @@ def serve_streams(
 
     if backend == "mega":
         from pvot.ops.ncc_mega import MegaGeometry
-        from pvot.tracker.mega import mega_multi_supported
+        from pvot.tracker.mega import mega_multi_mode
 
         g = MegaGeometry((h, w), (th, tw), config)
-        if g.supported() and (
-            _probe
-            or mega_multi_supported((h, w), (th, tw), config, interpret=interpret)
-        ):
+        mode = None
+        if g.supported():
+            if _probe:
+                mode = bool(inkernel_global)
+            elif inkernel_global is not None:
+                mode = bool(inkernel_global)
+            else:
+                mode = mega_multi_mode(
+                    (h, w), (th, tw), config, interpret=interpret
+                )
+        if mode is not None:
             return _serve_streams_mega(
                 frame_iters, states, frame_shape, config, chunk_size,
                 timings, scan_backend, highest, interpret,
                 max(1, pipeline_depth), device, prepad,
+                inkernel_global=mode,
             )
         backend = scan_backend
 
@@ -203,6 +218,7 @@ def _serve_streams_multidevice(
     prepad: bool,
     interpret: bool,
     _probe: bool,
+    inkernel_global=None,
 ):
     """Fan the streams out over devices: contiguous groups, one pipelined
     single-device driver per group in its own host thread.  Streams are
@@ -214,7 +230,7 @@ def _serve_streams_multidevice(
     import jax
 
     from pvot.config import TrackerConfig
-    from pvot.tracker.mega import mega_multi_supported
+    from pvot.tracker.mega import mega_multi_mode
     from pvot.ops.ncc_mega import MegaGeometry
 
     config = config or TrackerConfig()
@@ -226,12 +242,17 @@ def _serve_streams_multidevice(
             f"{n_streams} frame iterators for "
             f"{int(np.shape(states.t_mean)[0])} states"
         )
-    use_mega = backend == "mega" and MegaGeometry(
+    mode = None
+    if backend == "mega" and MegaGeometry(
         (h, w), (th, tw), config
-    ).supported() and (
-        _probe
-        or mega_multi_supported((h, w), (th, tw), config, interpret=interpret)
-    )
+    ).supported():
+        if _probe or inkernel_global is not None:
+            mode = bool(inkernel_global)
+        else:
+            mode = mega_multi_mode(
+                (h, w), (th, tw), config, interpret=interpret
+            )
+    use_mega = mode is not None
 
     # Contiguous groups, sizes within one of each other; empty groups drop.
     n_dev = min(len(devices), n_streams)
@@ -250,6 +271,7 @@ def _serve_streams_multidevice(
                 frame_iters[lo:hi], group_states, frame_shape, config,
                 chunk_size, group_timings, scan_backend, highest, interpret,
                 max(1, pipeline_depth), device, prepad,
+                inkernel_global=mode,
             )
         else:
             final, outs = _serve_streams_scan(
@@ -290,6 +312,7 @@ def _serve_streams_mega(
     depth: int,
     device=None,
     prepad: bool = True,
+    inkernel_global: bool = False,
 ):
     from collections import deque
 
@@ -340,6 +363,7 @@ def _serve_streams_mega(
             jnp.asarray(n_real),
             frame_shape=(h, w), templ_shape=(th, tw), config=config,
             interpret=interpret, highest=highest,
+            inkernel_global=inkernel_global,
         )
         st_after = extract(rows, tplout)
         rows.copy_to_host_async()
@@ -453,6 +477,7 @@ def serve_objects(
     prepad: bool = True,
     interpret: bool = False,
     _probe: bool = False,
+    inkernel_global=None,
 ):
     """Serve ONE live frame stream with K trackers end to end — the
     multi-object analog of serve_streams: a single decode thread, every
@@ -478,19 +503,22 @@ def serve_objects(
 
     if backend == "mega":
         from pvot.ops.ncc_mega import MegaGeometry
-        from pvot.tracker.mega import mega_objects_supported
+        from pvot.tracker.mega import mega_objects_mode
 
         g = MegaGeometry((h, w), (th, tw), config)
-        if g.supported() and (
-            _probe
-            or mega_objects_supported(
-                (h, w), (th, tw), config, interpret=interpret
-            )
-        ):
+        mode = None
+        if g.supported():
+            if _probe or inkernel_global is not None:
+                mode = bool(inkernel_global)
+            else:
+                mode = mega_objects_mode(
+                    (h, w), (th, tw), config, interpret=interpret
+                )
+        if mode is not None:
             return _serve_objects_mega(
                 frame_iter, states, frame_shape, config, chunk_size,
                 timings, scan_backend, highest, interpret,
-                max(1, pipeline_depth), prepad,
+                max(1, pipeline_depth), prepad, inkernel_global=mode,
             )
         backend = scan_backend
 
@@ -558,6 +586,7 @@ def _serve_objects_mega(
     interpret: bool,
     depth: int,
     prepad: bool,
+    inkernel_global: bool = False,
 ):
     from collections import deque
 
@@ -603,6 +632,7 @@ def _serve_objects_mega(
             jnp.full((k_objects,), n_real, jnp.int32),
             frame_shape=(h, w), templ_shape=(th, tw), config=config,
             interpret=interpret, highest=highest,
+            inkernel_global=inkernel_global,
         )
         st_after = extract(rows, tplout)
         rows.copy_to_host_async()

@@ -25,13 +25,20 @@ module moves the WHOLE local-mode tracking loop on-chip:
                          map, no operator, and no f32 frame copy ever touch
                          HBM.
 
-Global search cannot run in here (it needs full-frame strips), so the state
-machine's global branches POISON the chunk instead: a sticky flag freezes
+Global search (round 4, inkernel_global=True) runs IN here too: a global
+frame scores the full map as a strip grid of the same slab geometry —
+nested static fori_loops under pl.when whose body DMAs at loop-dependent
+origins (chip-proven: tools/global_strip_probe.py when_fori_dma) — folding
+per-strip argmaxes into SMEM in absolute coordinates (_lex_better), then
+re-fetches the main slab at the winner's clamped origin so the template-EMA
+patch extraction reuses the local path's rolls.  Local frames pay only the
+dormant branch (~nothing, tools/global_overhead_ab.py).  The older
+poison-mode kernel (inkernel_global=False) remains the fallback where only
+it compiles: global branches POISON the chunk — a sticky flag freezes
 state, the remaining grid steps emit tombstones, and the host driver
 (pvot.tracker.mega) transactionally re-runs the chunk through the XLA scan
-path — the semantics stay exactly the reference's
-(tracker_ghc/src/main.cpp:399-467), the mega path is just a fast commit for
-the overwhelmingly common all-local case.
+path.  Either way the semantics stay exactly the reference's
+(tracker_ghc/src/main.cpp:399-467).
 
 Parity note: scores are computed by the same shear math as the pallas_shear
 engine (bit-equal given equal inputs — the MXU contraction sees the same
@@ -65,7 +72,13 @@ LANE_ALIGN = 128
 BIG = 2**30
 
 # Output row-tile lane layout (row 0 of each frame's (8, TX) tile).
-O_BX, O_BY, O_BW, O_BH, O_SCORE, O_UPDATED, O_POISON, O_LOST, O_USEG = range(9)
+# O_GUSED (round 4): whether this frame's argmax ran over the FULL map —
+# the in-kernel global-search variant commits global frames instead of
+# poisoning, so StepOutput.used_global must come back from the kernel.
+(
+    O_BX, O_BY, O_BW, O_BH, O_SCORE, O_UPDATED, O_POISON, O_LOST, O_USEG,
+    O_GUSED,
+) = range(10)
 
 
 class MegaGeometry:
@@ -102,6 +115,16 @@ class MegaGeometry:
         max_xa = ((self.out_w - self.span_x) // LANE_ALIGN) * LANE_ALIGN
         self.pad_h = max(self.frame_h, max_ya + self.slab_h)
         self.pad_w = max(self.frame_w, max_xa + self.slab_w)
+        # Global-search strip grid (round 4): full-map frames score the
+        # SAME slab geometry at strip origins tiling the map — stride ty
+        # rows x (nx*TX) lanes, origins clamped to the local path's own
+        # clamp bounds (so the padded extents above already cover every
+        # strip's aligned DMA), edge strips overlapping exactly-rescored
+        # positions (harmless: the absolute-coordinate lexicographic
+        # combine is order- and overlap-invariant).
+        self.stride_gx = self.nx * TX
+        self.gy_strips = -(-self.out_h // self.ty)
+        self.gx_strips = -(-self.out_w // self.stride_gx)
 
     def supported(self) -> bool:
         """Round-4 envelope: spans up to 4 output tiles / 512 rows (the
@@ -146,6 +169,7 @@ def _mega_kernel(
     multi: bool = False,
     shared_frames: bool = False,
     batch: int = 1,
+    inkernel_global: bool = False,
 ):
     # multi=False: grid (F,) — one stream, scratch is the frame-loop carry.
     # multi=True: grid (S, F), frame axis innermost — streams run back to
@@ -213,6 +237,7 @@ def _mega_kernel(
             score_passes=score_passes, t=t, frame_idx=frame_idx,
             bx=bx, by=by, bw=bw, bh=bh, lost=lost, useg=useg,
             poisoned=poisoned, n_valid=n_valid,
+            inkernel_global=inkernel_global,
         )
 
     if batch == 1:
@@ -243,98 +268,23 @@ def _mega_kernel(
         tplout_ref[:, :] = tpl_ref[:, :]
 
 
-def _scored_frame_body(
-    frames_hbm, box_ref, out_ref, slab_ref, tpl_ref, sf_ref, si_ref, sem,
-    *, g, config, highest, score_passes, t, frame_idx,
-    bx, by, bw, bh, lost, useg, poisoned, n_valid,
+def _shear_score_tiles(
+    slab, box_ref, tpl_ref, t_mean, t_std_in, sum_tc,
+    *, g, highest, score_passes,
 ):
-    """One scored frame: mode selection, slab DMA, shear NCC, masked
-    argmax, confidence gate + bbox commit, template EMA, record emit.
-    Factored out of _mega_kernel so batch mode can gate it under pl.when
-    (skipped look-ahead frames do none of this work)."""
+    """Per-tile shear NCC score maps [(ty, TX)] * g.nx from a converted,
+    origin-rolled f32 slab — the round-3 score pass factored out so the
+    round-4 in-kernel global strips run EXACTLY the same math at strip
+    origins (scores are origin-invariant bit-for-bit: each MXU dot row sees
+    the same nonzero lanes in the same order, and the vertical k/p
+    accumulation order is fixed by the static unroll — the property the
+    overlap-tolerant strip combine relies on; verified by the
+    tests/test_mega.py global-parity tests and the per-geometry probe)."""
     th, tw, ty = g.th, g.tw, g.ty
     tile_lanes, m_lanes = g.tile_lanes, g.m_lanes
     n = float(th * tw)
-    lr = float(config.template_update_lr)
-    half_w, half_h = tw // 2, th // 2
-    rx, ry = int(config.search_radius_x), int(config.search_radius_y)
-
-    # --- Mode selection (pvot.tracker.step / main.cpp:399-413); >> 1
-    # replaces // 2 (non-negative here; Mosaic rejects in-kernel division,
-    # probe catalogue) ------------------------------------------------------
-    cx = bx + (bw >> 1)
-    cy = by + (bh >> 1)
-    center_out = (cx < 0) | (cx >= g.frame_w) | (cy < 0) | (cy >= g.frame_h)
-    box_out = (
-        (bx + bw < 0) | (bx >= g.frame_w) | (by + bh < 0) | (by >= g.frame_h)
-    )
-    outside = center_out | box_out
-    if config.enable_global_search:
-        use_global = (
-            (useg == 1)
-            | outside
-            | (lost >= int(config.lost_frame_threshold))
-        )
-    else:
-        use_global = jnp.bool_(False)
-    min_tx = jnp.maximum(0, cx - rx - half_w)
-    max_tx = jnp.minimum(g.out_w - 1, cx + rx - half_w)
-    min_ty = jnp.maximum(0, cy - ry - half_h)
-    max_ty = jnp.minimum(g.out_h - 1, cy + ry - half_h)
-    window_valid = (max_tx >= min_tx) & (max_ty >= min_ty)
-    global_argmax = use_global | ~window_valid
-
-    frame_valid = t < n_valid
-    poison_now = (poisoned == 1) | (global_argmax & frame_valid)
-    si_ref[6] = poison_now.astype(jnp.int32)
-    commit = frame_valid & ~poison_now
-
-    # --- Aligned slab fetch (probes: dma_u8_slab, scalar_align) ------------
-    x0 = jnp.minimum(min_tx, g.out_w - g.span_x)
-    y0 = jnp.minimum(min_ty, g.out_h - g.span_y)
-    # Align-down as block-index * alignment: Mosaic's tile-divisibility
-    # proof tracks `idx * 32` but NOT `(idx >> 5) << 5` — the shift form
-    # fails to compile ("Failed to prove that a tile index in dimension 1
-    # is divisible by the tiling (8)", /tmp/mega_ab2.log repro) even though
-    # the dma_u8_slab probe's multiply form passes on the same chip.
-    ya = (y0 >> 5) * ROW_ALIGN
-    xa = (x0 >> 7) * LANE_ALIGN
-    cp = pltpu.make_async_copy(
-        frames_hbm.at[frame_idx, pl.ds(ya, g.slab_h), pl.ds(xa, g.slab_w)],
-        slab_ref,
-        sem,
-    )
-    cp.start()
-    cp.wait()
-    # Wire-dtype conversion on-chip (exactly ensure_gray_f32's math; the
-    # u8 -> i32 -> f32 ladder — Mosaic has no direct u8 -> f32 cast,
-    # tools/fused_argmax_probe.py u8_convert/dma_u8_slab), then
-    # roll the alignment residual away so slab row/lane 0 is map position
-    # (y0, x0) — identical to the per-frame engines' region slice.  Roll
-    # wraparound garbage lands beyond the rows/lanes any valid window or
-    # masked-in score position reads (see module docstring).
-    # (A rolled-before-convert uint8 variant — 4x less roll traffic — was
-    # measured in tools/mega_box_ab.py round 4: this relay's Mosaic rejects
-    # pltpu.roll on uint8 values (MosaicError at compile), so the roll stays
-    # on the f32 copy.)
-    slab = (
-        slab_ref[:, :].astype(jnp.int32).astype(jnp.float32)
-        * jnp.float32(1.0 / 255.0)
-    )
-    slab = pltpu.roll(slab, g.slab_h - (y0 - ya), 0)
-    slab = pltpu.roll(slab, g.slab_w - (x0 - xa), 1)
-
-    # --- NCC scores: the shear formulation on value slices (mirrors
-    # ncc_pallas._score_tile shear=True; kept in sync by
-    # tests/test_mega.py::test_mega_matches_xla_*).  Spans wider than one
-    # TX output tile run this pass g.nx times over shifted lane windows of
-    # the same slab (round 4: admits the r160 blueprint configs); the
-    # per-tile masked argmaxes combine exactly below. --------------------
-    t_mean, t_std_in, sum_tc = sf_ref[0], sf_ref[1], sf_ref[2]
     row8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 0)
     col8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 1)
-    dy_iota = lax.broadcasted_iota(jnp.int32, (ty, TX), 0)
-    dxl_iota = lax.broadcasted_iota(jnp.int32, (ty, TX), 1)
 
     def dot_f32(a, b):
         return lax.dot_general(
@@ -430,18 +380,198 @@ def _scored_frame_body(
                 bsum_l[xt] = bsum_l[xt] + w[o : o + ty, :]
                 bsq_l[xt] = bsq_l[xt] + wsq[o : o + ty, :]
 
-    best_val = jnp.float32(0.0)
-    bdy = jnp.int32(0)
-    bdx = jnp.int32(0)
-    for xt in range(g.nx):  # per-tile normalization + masked argmax
+    s_l = []
+    for xt in range(g.nx):  # per-tile normalization
         acc_sum = dot_f32(bsum_l[xt], box_ref[:, :])
         acc_ssq = dot_f32(bsq_l[xt], box_ref[:, :])
         mean = acc_sum / n
         var = acc_ssq / n - mean * mean
         std = jnp.sqrt(jnp.maximum(var, 1e-6))
         cov = acc_l[xt] - mean * sum_tc
-        s = cov / ((std + 1e-6) * (t_std_in + 1e-6) * n)
+        s_l.append(cov / ((std + 1e-6) * (t_std_in + 1e-6) * n))
+    return s_l
 
+
+def _lex_better(val_t, ay_t, ax_t, bval, bay, bax):
+    """(value desc, y asc, x asc) — the total order whose fold reproduces
+    row-major first-occurrence argmax over any cover of the score map
+    (order- and overlap-invariant given positionally-identical scores)."""
+    return (val_t > bval) | (
+        (val_t == bval) & ((ay_t < bay) | ((ay_t == bay) & (ax_t < bax)))
+    )
+
+
+def _scored_frame_body(
+    frames_hbm, box_ref, out_ref, slab_ref, tpl_ref, sf_ref, si_ref, sem,
+    *, g, config, highest, score_passes, t, frame_idx,
+    bx, by, bw, bh, lost, useg, poisoned, n_valid,
+    inkernel_global=False,
+):
+    """One scored frame: mode selection, slab DMA, shear NCC, masked
+    argmax, confidence gate + bbox commit, template EMA, record emit.
+    Factored out of _mega_kernel so batch mode can gate it under pl.when
+    (skipped look-ahead frames do none of this work).
+
+    inkernel_global=True (round 4) scores GLOBAL-search frames inside the
+    kernel instead of poisoning: under pl.when(global) a strip grid of the
+    same slab geometry covers the full map (nested static fori_loops whose
+    body DMAs at loop-dependent origins — the exact construct chip-proven
+    by tools/global_strip_probe.py when_fori_dma), folding per-strip
+    argmaxes into SMEM by _lex_better in absolute coordinates; the main
+    slab then fetches at the winner's origin so the template-EMA patch
+    extraction reuses the local path's rolls.  Semantics match
+    pvot.tracker.step exactly: global threshold selection
+    (main.cpp:449), use_global reset, used_global reporting."""
+    th, tw, ty = g.th, g.tw, g.ty
+    m_lanes = g.m_lanes
+    n = float(th * tw)
+    lr = float(config.template_update_lr)
+    half_w, half_h = tw // 2, th // 2
+    rx, ry = int(config.search_radius_x), int(config.search_radius_y)
+
+    # --- Mode selection (pvot.tracker.step / main.cpp:399-413); >> 1
+    # replaces // 2 (non-negative here; Mosaic rejects in-kernel division,
+    # probe catalogue) ------------------------------------------------------
+    cx = bx + (bw >> 1)
+    cy = by + (bh >> 1)
+    center_out = (cx < 0) | (cx >= g.frame_w) | (cy < 0) | (cy >= g.frame_h)
+    box_out = (
+        (bx + bw < 0) | (bx >= g.frame_w) | (by + bh < 0) | (by >= g.frame_h)
+    )
+    outside = center_out | box_out
+    if config.enable_global_search:
+        use_global = (
+            (useg == 1)
+            | outside
+            | (lost >= int(config.lost_frame_threshold))
+        )
+    else:
+        use_global = jnp.bool_(False)
+    min_tx = jnp.maximum(0, cx - rx - half_w)
+    max_tx = jnp.minimum(g.out_w - 1, cx + rx - half_w)
+    min_ty = jnp.maximum(0, cy - ry - half_h)
+    max_ty = jnp.minimum(g.out_h - 1, cy + ry - half_h)
+    window_valid = (max_tx >= min_tx) & (max_ty >= min_ty)
+    global_argmax = use_global | ~window_valid
+
+    frame_valid = t < n_valid
+    if inkernel_global:
+        do_global = global_argmax & frame_valid
+        poison_now = jnp.bool_(False)
+        si_ref[6] = 0
+        commit = frame_valid
+    else:
+        do_global = None
+        poison_now = (poisoned == 1) | (global_argmax & frame_valid)
+        si_ref[6] = poison_now.astype(jnp.int32)
+        commit = frame_valid & ~poison_now
+
+    t_mean, t_std_in, sum_tc = sf_ref[0], sf_ref[1], sf_ref[2]
+    dy_iota = lax.broadcasted_iota(jnp.int32, (ty, TX), 0)
+    dxl_iota = lax.broadcasted_iota(jnp.int32, (ty, TX), 1)
+    x0 = jnp.minimum(min_tx, g.out_w - g.span_x)
+    y0 = jnp.minimum(min_ty, g.out_h - g.span_y)
+
+    def fetch_slab(y0_, x0_):
+        """Aligned slab DMA + on-chip u8->f32 + residual rolls so slab
+        row/lane 0 is map position (y0_, x0_) (probes: dma_u8_slab,
+        scalar_align, roll_traced).
+
+        Align-down as block-index * alignment: Mosaic's tile-divisibility
+        proof tracks `idx * 32` but NOT `(idx >> 5) << 5` — the shift form
+        fails to compile ("Failed to prove that a tile index in dimension 1
+        is divisible by the tiling (8)", /tmp/mega_ab2.log repro) even
+        though the dma_u8_slab probe's multiply form passes on the same
+        chip.  The u8 -> i32 -> f32 ladder is exactly ensure_gray_f32's
+        math (Mosaic has no direct u8 -> f32 cast); roll wraparound garbage
+        lands beyond the rows/lanes any masked-in score position reads.
+        (A rolled-before-convert uint8 variant — 4x less roll traffic — was
+        measured in tools/mega_box_ab.py round 4: this relay's Mosaic
+        rejects pltpu.roll on uint8 values, so the roll stays on f32.)"""
+        ya_ = (y0_ >> 5) * ROW_ALIGN
+        xa_ = (x0_ >> 7) * LANE_ALIGN
+        cp = pltpu.make_async_copy(
+            frames_hbm.at[
+                frame_idx, pl.ds(ya_, g.slab_h), pl.ds(xa_, g.slab_w)
+            ],
+            slab_ref,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        s_ = (
+            slab_ref[:, :].astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / 255.0)
+        )
+        s_ = pltpu.roll(s_, g.slab_h - (y0_ - ya_), 0)
+        return pltpu.roll(s_, g.slab_w - (x0_ - xa_), 1)
+
+    if inkernel_global:
+        # --- In-kernel global search (main.cpp:399-446 full-map argmax):
+        # strip grid over the map, runs ONLY on global frames (pl.when;
+        # local frames pay a handful of scalar ops).  Clamped edge strips
+        # re-score overlapping positions — harmless, _lex_better's fold is
+        # overlap-invariant on positionally-identical scores. ---------------
+        sf_ref[3] = -jnp.inf
+        si_ref[8] = BIG
+        si_ref[9] = BIG
+
+        @pl.when(do_global)
+        def _():
+            def strip(sy, sx):
+                y0s = jnp.minimum(sy * ty, g.out_h - g.span_y)
+                x0s = jnp.minimum(sx * g.stride_gx, g.out_w - g.span_x)
+                s_l = _shear_score_tiles(
+                    fetch_slab(y0s, x0s), box_ref, tpl_ref,
+                    t_mean, t_std_in, sum_tc,
+                    g=g, highest=highest, score_passes=score_passes,
+                )
+                for xt in range(g.nx):
+                    dxg = xt * TX + dxl_iota
+                    mask = (dy_iota < g.out_h - y0s) & (dxg < g.out_w - x0s)
+                    masked = jnp.where(mask, s_l[xt], -jnp.inf)
+                    val_t = jnp.max(masked)
+                    is_best = masked == val_t
+                    bdy_t = jnp.min(jnp.where(is_best, dy_iota, BIG))
+                    bdx_t = jnp.min(
+                        jnp.where(is_best & (dy_iota == bdy_t), dxg, BIG)
+                    )
+                    ay_t = y0s + bdy_t
+                    ax_t = x0s + bdx_t
+                    bv, bay, bax = sf_ref[3], si_ref[8], si_ref[9]
+                    better = _lex_better(val_t, ay_t, ax_t, bv, bay, bax)
+                    sf_ref[3] = jnp.where(better, val_t, bv)
+                    si_ref[8] = jnp.where(better, ay_t, bay)
+                    si_ref[9] = jnp.where(better, ax_t, bax)
+
+            def body_y(sy, c):
+                def body_x(sx, c2):
+                    strip(sy, sx)
+                    return c2
+
+                return lax.fori_loop(0, g.gx_strips, body_x, c)
+
+            lax.fori_loop(0, g.gy_strips, body_y, 0)
+
+        g_val, g_ay, g_ax = sf_ref[3], si_ref[8], si_ref[9]
+        # Effective main-slab origin: the global winner's clamped patch
+        # window (so the EMA patch extraction below reads this slab), the
+        # local window otherwise.
+        x0 = jnp.where(do_global, jnp.minimum(g_ax, g.out_w - g.span_x), x0)
+        y0 = jnp.where(do_global, jnp.minimum(g_ay, g.out_h - g.span_y), y0)
+
+    # --- Main slab + local-window NCC scores (on global frames the window
+    # argmax below is garbage and overridden; running it anyway is the
+    # overlay pattern — tools/cond_ab.py, pvot/tracker/step.py) -------------
+    slab = fetch_slab(y0, x0)
+    s_l = _shear_score_tiles(
+        slab, box_ref, tpl_ref, t_mean, t_std_in, sum_tc,
+        g=g, highest=highest, score_passes=score_passes,
+    )
+    best_val = jnp.float32(0.0)
+    bdy = jnp.int32(0)
+    bdx = jnp.int32(0)
+    for xt in range(g.nx):  # per-tile masked argmax
         # Masked argmax, row-major first occurrence, division-free:
         # smallest dy among maxima, then smallest (global) dx within it.
         dxg = xt * TX + dxl_iota
@@ -451,7 +581,7 @@ def _scored_frame_body(
             & (dy_iota >= min_ty - y0)
             & (dy_iota <= max_ty - y0)
         )
-        masked = jnp.where(mask, s, -jnp.inf)
+        masked = jnp.where(mask, s_l[xt], -jnp.inf)
         val_t = jnp.max(masked)
         is_best = masked == val_t
         bdy_t = jnp.min(jnp.where(is_best, dy_iota, BIG))
@@ -464,19 +594,33 @@ def _scored_frame_body(
             # per-tile winners reproduces the single-map argmax — each
             # tile's bdy_t is already the smallest dy of its own maxima,
             # and later tiles hold strictly larger dx.
-            better = (val_t > best_val) | (
-                (val_t == best_val)
-                & ((bdy_t < bdy) | ((bdy_t == bdy) & (bdx_t < bdx)))
-            )
+            better = _lex_better(val_t, bdy_t, bdx_t, best_val, bdy, bdx)
             best_val = jnp.where(better, val_t, best_val)
             bdy = jnp.where(better, bdy_t, bdy)
             bdx = jnp.where(better, bdx_t, bdx)
+    if inkernel_global:
+        # Overlay the global winner; bdy/bdx become slab-relative patch
+        # coordinates for the EMA extraction (the slab IS at the winner's
+        # clamped origin on global frames).
+        best_val = jnp.where(do_global, g_val, best_val)
+        bdy = jnp.where(do_global, g_ay - y0, bdy)
+        bdx = jnp.where(do_global, g_ax - x0, bdx)
     best_x = x0 + bdx
     best_y = y0 + bdy
 
-    # --- Confidence gate + bbox commit (apply_update; only the local
-    # threshold can apply here — a global frame poisoned above) -------------
-    accept = commit & (best_val >= jnp.float32(config.min_confidence))
+    # --- Confidence gate + bbox commit (apply_update; threshold keys off
+    # use_global — main.cpp:449 — not off which argmax ran) ------------------
+    if inkernel_global:
+        threshold = jnp.where(
+            use_global,
+            jnp.float32(config.global_confidence),
+            jnp.float32(config.min_confidence),
+        )
+    else:
+        # Only the local threshold can apply here — a global frame
+        # poisoned above.
+        threshold = jnp.float32(config.min_confidence)
+    accept = commit & (best_val >= threshold)
     new_bx = jnp.where(accept, best_x, bx)
     new_by = jnp.where(accept, best_y, by)
     new_bw = jnp.where(accept, tw, bw)
@@ -489,9 +633,27 @@ def _scored_frame_body(
     si_ref[2] = new_bw
     si_ref[3] = new_bh
     si_ref[4] = new_lost
-    # use_global stays 0 on the mega path: a set flag poisons the chunk
-    # before it could ever be consumed here.
-    si_ref[5] = jnp.where(commit, 0, useg)
+    if inkernel_global:
+        # use_global reset exactly as apply_update: clears only on an
+        # accepted, in-frame bbox; otherwise this frame's computed flag
+        # carries (sticky re-acquisition, main.cpp:451-456).
+        ncx = new_bx + (new_bw >> 1)
+        ncy = new_by + (new_bh >> 1)
+        new_outside = (
+            (ncx < 0) | (ncx >= g.frame_w) | (ncy < 0) | (ncy >= g.frame_h)
+            | (new_bx + new_bw < 0) | (new_bx >= g.frame_w)
+            | (new_by + new_bh < 0) | (new_by >= g.frame_h)
+        )
+        ug_i = jnp.asarray(use_global).astype(jnp.int32)
+        si_ref[5] = jnp.where(
+            frame_valid,
+            jnp.where(accept & ~new_outside, 0, ug_i),
+            useg,
+        )
+    else:
+        # use_global stays 0 on the poison-mode mega path: a set flag
+        # poisons the chunk before it could ever be consumed here.
+        si_ref[5] = jnp.where(commit, 0, useg)
 
     # --- Template EMA + stats (apply_update / template_stats).  Overlay
     # style: always compute, select on `strong` (the cond-vs-overlay
@@ -530,6 +692,11 @@ def _scored_frame_body(
         + jnp.where(lane == O_LOST, new_lost.astype(f32), 0.0)
         + jnp.where(lane == O_USEG, si_ref[5].astype(f32), 0.0)
     )
+    if inkernel_global:
+        # StepOutput.used_global parity (step.py emits global_argmax).
+        outvec = outvec + jnp.where(
+            lane == O_GUSED, jnp.asarray(do_global).astype(f32), 0.0
+        )
     out_ref[:, :] = outvec
 
 
@@ -537,7 +704,7 @@ def _scored_frame_body(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
-        "score_passes", "batch",
+        "score_passes", "batch", "inkernel_global",
     ),
 )
 def mega_track_chunk(
@@ -556,6 +723,7 @@ def mega_track_chunk(
     highest: bool = True,
     score_passes: int = 3,
     batch: int = 1,
+    inkernel_global: bool = False,
 ):
     """Run one chunk through the mega-kernel.
 
@@ -622,6 +790,7 @@ def mega_track_chunk(
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
         score_passes=score_passes, batch=batch,
+        inkernel_global=inkernel_global,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5  # u8 slab + one f32 copy
@@ -655,7 +824,7 @@ def mega_track_chunk(
             pltpu.VMEM((g.slab_h, g.slab_w), jnp.uint8),
             pltpu.VMEM((g.rows8, g.m_lanes), jnp.float32),
             pltpu.SMEM((4,), jnp.float32),
-            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((12,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
@@ -669,7 +838,7 @@ def mega_track_chunk(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
-        "score_passes", "batch",
+        "score_passes", "batch", "inkernel_global",
     ),
 )
 def mega_track_chunk_multi(
@@ -688,6 +857,7 @@ def mega_track_chunk_multi(
     highest: bool = True,
     score_passes: int = 3,
     batch: int = 1,
+    inkernel_global: bool = False,
 ):
     """S independent streams through ONE pallas_call: grid (S, F), frame
     axis innermost, so stream s's frames run back to back and the kernel's
@@ -750,6 +920,7 @@ def mega_track_chunk_multi(
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
         score_passes=score_passes, multi=True, batch=batch,
+        inkernel_global=inkernel_global,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5
@@ -794,7 +965,7 @@ def mega_track_chunk_multi(
             pltpu.VMEM((g.slab_h, g.slab_w), jnp.uint8),
             pltpu.VMEM((g.rows8, g.m_lanes), jnp.float32),
             pltpu.SMEM((4,), jnp.float32),
-            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((12,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
@@ -809,7 +980,7 @@ def mega_track_chunk_multi(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
-        "score_passes", "batch",
+        "score_passes", "batch", "inkernel_global",
     ),
 )
 def mega_track_chunk_objects(
@@ -828,6 +999,7 @@ def mega_track_chunk_objects(
     highest: bool = True,
     score_passes: int = 3,
     batch: int = 1,
+    inkernel_global: bool = False,
 ):
     """K independent trackers over ONE shared clip in ONE pallas_call —
     the MULTI-OBJECT mega path (the reference's never-implemented 150%
@@ -887,7 +1059,7 @@ def mega_track_chunk_objects(
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
         score_passes=score_passes, multi=True, shared_frames=True,
-        batch=batch,
+        batch=batch, inkernel_global=inkernel_global,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5
@@ -932,7 +1104,7 @@ def mega_track_chunk_objects(
             pltpu.VMEM((g.slab_h, g.slab_w), jnp.uint8),
             pltpu.VMEM((g.rows8, g.m_lanes), jnp.float32),
             pltpu.SMEM((4,), jnp.float32),
-            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((12,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),

@@ -1,15 +1,25 @@
 """Mega-kernel tracking driver with a transactional scan-path fallback.
 
 `track_video_mega` drives pvot.ops.ncc_mega: each chunk of frames is ONE
-pallas_call that runs the whole local-mode state machine on-chip (see that
-module's docstring for the design and the probe lineage).  Because global
-search cannot run inside the kernel, the kernel POISONS a chunk whose state
-machine would enter a global branch (lost-object re-acquisition, bbox out of
-frame, collapsed window — tracker_ghc/src/main.cpp:399-446), and this driver
-re-runs exactly that chunk through the ordinary XLA scan path
-(pvot.tracker.scan.track_video), then resumes the mega path on the next
-chunk.  Semantics therefore match the scan engines on every frame; the mega
-path is an optimistic fast commit for the all-local common case.
+pallas_call that runs the whole state machine on-chip (see that module's
+docstring for the design and the probe lineage).  Two kernel modes, picked
+per geometry by a compile+numerics probe (mega_mode):
+
+  * IN-KERNEL GLOBAL SEARCH (round 4, preferred): global branches
+    (lost-object re-acquisition, bbox out of frame, collapsed window —
+    tracker_ghc/src/main.cpp:399-446) score the FULL map inside the kernel
+    as a strip grid under pl.when and commit on-chip.  Nothing ever
+    poisons; occlusion-heavy clips run at mega rates (the round-3 poison
+    protocol measured catastrophically there, results.json occl_* rows).
+  * POISON TRANSACTIONS (round 3, fallback): the kernel POISONS a chunk
+    whose state machine would enter a global branch, and this driver
+    re-runs exactly that chunk through the ordinary XLA scan path
+    (pvot.tracker.scan.track_video), then resumes the mega path on the
+    next chunk.
+
+Either way semantics match the scan engines on every frame (bboxes/flags
+bit-equal; in-kernel-global rejected-frame scores are engine-grade — see
+_outputs_equal).
 
 Fetch discipline (memory/axon-relay-timing.md): all chunks are enqueued
 device-side and their per-frame records land on the host in ONE packed
@@ -29,6 +39,7 @@ from pvot.config import TrackerConfig
 from pvot.ops.ncc_mega import (
     MegaGeometry,
     O_BX,
+    O_GUSED,
     O_LOST,
     O_POISON,
     O_SCORE,
@@ -72,15 +83,64 @@ def _state_from_chunk(rows: jax.Array, tplout: jax.Array) -> TrackerState:
 
 
 def _rows_to_output(rows: np.ndarray) -> StepOutput:
-    """Host-side per-frame records -> StepOutput.  used_global is identically
-    False on mega-committed frames: any frame whose state machine reaches a
-    global branch poisons the chunk and is re-run on the scan path."""
+    """Host-side per-frame records -> StepOutput.  used_global comes from
+    the kernel's O_GUSED lane: the in-kernel global-search mode (round 4)
+    commits global frames on-chip; in poison mode the lane is identically
+    zero (any frame whose state machine reaches a global branch poisons the
+    chunk and is re-run on the scan path)."""
     return StepOutput(
         bbox=rows[:, O_BX : O_BX + 4].astype(np.int32),
         score=rows[:, O_SCORE].copy(),
-        used_global=np.zeros(rows.shape[0], bool),
+        used_global=rows[:, O_GUSED] != 0.0,
         updated=rows[:, O_UPDATED] != 0.0,
     )
+
+
+def _global_probe_clip(
+    frames: np.ndarray, templ_shape: Tuple[int, int]
+) -> tuple:
+    """Mutate a random probe clip + build a start state that exercises the
+    WHOLE global-search state machine (main.cpp:399-459): the bbox center
+    starts outside the frame (forces use_global on frame 1), the front half
+    of the clip is noise (global argmax REJECTS under global_confidence —
+    sticky flag, lost counter), and the exact uint8 template patch is pasted
+    off-center into the back half (global argmax ACCEPTS — re-acquisition,
+    flag reset, then local tracking).  Returns the start state."""
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.tracker.state import init_state
+
+    n_probe, h, w = frames.shape
+    th, tw = templ_shape
+    x = (w - tw) // 2
+    y = (h - th) // 2
+    templ = jnp.asarray(gray_u8_to_f32(frames[0])[y : y + th, x : x + tw])
+    patch = frames[0][y : y + th, x : x + tw].copy()
+    py = min(3 * th // 2, h - th)
+    px = min(2 * tw, w - tw)
+    for i in range(1 + (n_probe - 1) // 2, n_probe):
+        frames[i, py : py + th, px : px + tw] = patch
+    return init_state(templ, (-(tw // 2) - 2, y, tw, th))
+
+
+def _outputs_equal(want: StepOutput, got: StepOutput) -> bool:
+    """Probe equality contract: bboxes and flags bit-equal; ACCEPTED
+    frames' scores within 1e-5 (a genuine match's score is numerically
+    stable across engines); REJECTED frames' within 2e-3 — a rejected
+    score is the max over noise / near-flat positions (the full map on
+    global frames, the window otherwise), where eps-dominated
+    low-variance positions amplify cross-engine per-position differences
+    into the max (measured up to ~6e-4 full-map / ~3e-5 windowed vs the
+    matmul oracle on the in-kernel-global test clips)."""
+    if not (
+        np.array_equal(want.bbox, got.bbox)
+        and np.array_equal(want.updated, got.updated)
+        and np.array_equal(want.used_global, got.used_global)
+    ):
+        return False
+    acc = np.asarray(want.updated)
+    return np.allclose(
+        np.asarray(want.score)[acc], np.asarray(got.score)[acc], atol=1e-5
+    ) and np.allclose(want.score, got.score, atol=2e-3)
 
 
 def mega_supported(
@@ -89,6 +149,7 @@ def mega_supported(
     config: TrackerConfig,
     interpret: bool = False,
     batch: int = 1,
+    inkernel_global: bool = False,
 ) -> bool:
     """Compile + numerics probe at EXACTLY the served geometry (the same
     per-geometry discipline as ncc_pallas.pallas_supported: this relay's
@@ -96,10 +157,12 @@ def mega_supported(
     prove itself against the scan path before it serves).  Probes a short
     random clip and requires bit-equal bboxes, flags, and scores.  batch > 1
     probes the in-kernel look-ahead cadence against the batched scan path
-    (full batches + a leftover tail)."""
+    (full batches + a leftover tail).  inkernel_global=True probes the
+    round-4 in-kernel global-search mode on a clip that actually loses and
+    re-acquires its target (_global_probe_clip)."""
     key = (
         jax.default_backend(), frame_shape, templ_shape, config, interpret,
-        batch,
+        batch, inkernel_global,
     )
     if key not in _SUPPORT_CACHE:
         try:
@@ -110,16 +173,21 @@ def mega_supported(
             h, w = frame_shape
             th, tw = templ_shape
             n_probe = 5 if batch == 1 else 2 * batch + 2
+            if inkernel_global:
+                n_probe = max(n_probe, 7)
             frames = rng.integers(0, 256, (n_probe, h, w), np.uint8)
             x = (w - tw) // 2
             y = (h - th) // 2
             from pvot.io.gray import gray_u8_to_f32
             from pvot.tracker.state import init_state
 
-            templ = jnp.asarray(
-                gray_u8_to_f32(frames[0])[y : y + th, x : x + tw]
-            )
-            state = init_state(templ, (x, y, tw, th))
+            if inkernel_global:
+                state = _global_probe_clip(frames, (th, tw))
+            else:
+                templ = jnp.asarray(
+                    gray_u8_to_f32(frames[0])[y : y + th, x : x + tw]
+                )
+                state = init_state(templ, (x, y, tw, th))
             cs_probe = 4 if batch == 1 else 2 * batch
             if batch == 1:
                 want_state, want = track_video(
@@ -134,12 +202,9 @@ def mega_supported(
             got_state, got = track_video_mega(
                 frames[1:], state, config, chunk_size=cs_probe,
                 interpret=interpret, _probe=True, batch=batch,
+                inkernel_global=inkernel_global,
             )
-            if not (
-                np.array_equal(want.bbox, got.bbox)
-                and np.array_equal(want.updated, got.updated)
-                and np.allclose(want.score, got.score, atol=1e-5)
-            ):
+            if not _outputs_equal(want, got):
                 raise ValueError(
                     f"mega probe mismatch: {got.bbox.tolist()} vs "
                     f"{want.bbox.tolist()}"
@@ -163,6 +228,63 @@ def mega_supported(
     return _SUPPORT_CACHE[key]
 
 
+def _resolve_mode(config: TrackerConfig, probe_fn, *args, **kw):
+    """Shared mega-mode resolution: True = in-kernel global-search kernel
+    (preferred — nothing ever poisons), False = poison-mode kernel, None =
+    neither proved out at this geometry (serve on the scan engines)."""
+    if config.enable_global_search and probe_fn(
+        *args, **kw, inkernel_global=True
+    ):
+        return True
+    if probe_fn(*args, **kw):
+        return False
+    return None
+
+
+def mega_mode(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+    batch: int = 1,
+):
+    """Resolve the single-stream mega kernel mode at a geometry (see
+    _resolve_mode).  Drivers that call mega_track_chunk directly
+    (pvot.io.pipeline) use this instead of mega_supported so they serve
+    the in-kernel global-search kernel whenever it proves out."""
+    return _resolve_mode(
+        config, mega_supported, frame_shape, templ_shape, config,
+        interpret=interpret, batch=batch,
+    )
+
+
+def mega_multi_mode(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+    batch: int = 1,
+):
+    """mega_mode for the multi-stream kernel (pvot.io.serving)."""
+    return _resolve_mode(
+        config, mega_multi_supported, frame_shape, templ_shape, config,
+        interpret=interpret, batch=batch,
+    )
+
+
+def mega_objects_mode(
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+):
+    """mega_mode for the multi-object kernel (pvot.io.serving)."""
+    return _resolve_mode(
+        config, mega_objects_supported, frame_shape, templ_shape, config,
+        interpret=interpret,
+    )
+
+
 def track_video_mega(
     frames: np.ndarray,
     state: TrackerState,
@@ -172,6 +294,7 @@ def track_video_mega(
     interpret: bool = False,
     _probe: bool = False,
     batch: int = 1,
+    inkernel_global=None,
 ) -> Tuple[TrackerState, StepOutput]:
     """Track a pre-decoded uint8 gray video (F, H, W) on the mega path.
 
@@ -188,6 +311,13 @@ def track_video_mega(
     scan engine — VERDICT r3 item 7).  Non-power-of-two batches (no
     in-kernel cadence mask: Mosaic rejects division) and fallback/rollback
     paths run pvot.tracker.scan.track_video_batched, the semantics oracle.
+
+    inkernel_global (round 4): None = auto — probe the in-kernel
+    global-search kernel at this geometry and use it when it proves out
+    (global frames then commit ON-CHIP and nothing ever poisons — the
+    occlusion-regime fix, VERDICT r3 item 2); True/False forces the mode.
+    The poison/rollback transaction machinery below stays as the fallback
+    for geometries where only the local-mode kernel compiles.
     """
     batch = int(batch or 1)
     frames = as_frames(frames)
@@ -210,13 +340,26 @@ def track_video_mega(
     g = MegaGeometry((h, w), (th, tw), config)
     if f == 0 or frames.dtype != np.uint8 or not g.supported() or (
         batch > 1 and (batch & (batch - 1) or f < batch)
-    ) or (
-        not _probe
-        and not mega_supported(
-            (h, w), (th, tw), config, interpret=interpret, batch=batch,
-        )
     ):
         return scan_fallback(frames, state, chunk_size)
+    ikg = inkernel_global
+    if not _probe:
+        if ikg is None:
+            # Global mode first: when it proves out it strictly dominates
+            # (global frames commit on-chip; local frames pay a handful of
+            # dormant scalar ops — tools/global_overhead_ab.py).  Without
+            # enable_global_search the only full-map frames are collapsed
+            # windows (step.py:141-144), too rare to justify the bigger
+            # kernel.
+            ikg = config.enable_global_search and mega_supported(
+                (h, w), (th, tw), config, interpret=interpret, batch=batch,
+                inkernel_global=True,
+            )
+        if not ikg and not mega_supported(
+            (h, w), (th, tw), config, interpret=interpret, batch=batch,
+        ):
+            return scan_fallback(frames, state, chunk_size)
+    ikg = bool(ikg)
 
     cs = min(chunk_size, f)
     if batch > 1:  # chunk boundaries must sit on batch boundaries
@@ -276,6 +419,7 @@ def track_video_mega(
                 config=config,
                 interpret=interpret,
                 batch=batch,
+                inkernel_global=ikg,
             )
             st = _state_from_chunk(rows, tplout)
             pend.append((j, rows, n_real))
@@ -317,14 +461,17 @@ def mega_multi_supported(
     config: TrackerConfig,
     interpret: bool = False,
     batch: int = 1,
+    inkernel_global: bool = False,
 ) -> bool:
     """Compile + numerics probe for the MULTI-stream mega kernel at the
     served geometry (its BlockSpec layout differs from the single-stream
     call — per-stream (s, 0)-indexed template/state blocks — so it must
-    prove itself separately against the scan path)."""
+    prove itself separately against the scan path).  inkernel_global=True
+    probes stream 0 on a lose-and-reacquire clip (_global_probe_clip) with
+    stream 1 clean, covering the mixed global/local case serving sees."""
     key = (
         "multi", jax.default_backend(), frame_shape, templ_shape, config,
-        interpret, batch,
+        interpret, batch, inkernel_global,
     )
     if key not in _SUPPORT_CACHE:
         try:
@@ -335,12 +482,17 @@ def mega_multi_supported(
             h, w = frame_shape
             th, tw = templ_shape
             n_probe = 5 if batch == 1 else 2 * batch + 2
+            if inkernel_global:
+                n_probe = max(n_probe, 7)
             videos = rng.integers(0, 256, (2, n_probe, h, w), np.uint8)
             from pvot.io.gray import gray_u8_to_f32
             from pvot.tracker.state import init_state
 
             states = []
             for s in range(2):
+                if inkernel_global and s == 0:
+                    states.append(_global_probe_clip(videos[0], (th, tw)))
+                    continue
                 x = (w - tw) // 2 + 2 * s
                 y = (h - th) // 2 - s
                 templ = jnp.asarray(
@@ -352,6 +504,7 @@ def mega_multi_supported(
             _, got = track_streams_mega(
                 videos[:, 1:], stacked, config, chunk_size=cs_probe,
                 interpret=interpret, _probe=True, batch=batch,
+                inkernel_global=inkernel_global,
             )
             for s in range(2):
                 if batch == 1:
@@ -364,11 +517,12 @@ def mega_multi_supported(
                         videos[s, 1:], states[s], config, batch_size=batch,
                         backend="pallas_shear",
                     )
-                if not (
-                    np.array_equal(want.bbox, got.bbox[:, s])
-                    and np.array_equal(want.updated, got.updated[:, s])
-                    and np.allclose(want.score, got.score[:, s], atol=1e-5)
-                ):
+                got_s = StepOutput(
+                    bbox=got.bbox[:, s], score=got.score[:, s],
+                    used_global=got.used_global[:, s],
+                    updated=got.updated[:, s],
+                )
+                if not _outputs_equal(want, got_s):
                     raise ValueError(
                         f"mega multi probe mismatch (stream {s}): "
                         f"{got.bbox[:, s].tolist()} vs {want.bbox.tolist()}"
@@ -432,6 +586,7 @@ def track_streams_mega(
     interpret: bool = False,
     _probe: bool = False,
     batch: int = 1,
+    inkernel_global=None,
 ) -> Tuple[TrackerState, StepOutput]:
     """Track S independent pre-decoded streams (S, F, H, W) uint8 on the
     multi-stream mega path: every chunk is ONE pallas_call covering all
@@ -442,8 +597,9 @@ def track_streams_mega(
     `states` is a stacked TrackerState (leading S axis, as built by
     pvot.parallel.multi.init_multi_state).  Returns (final stacked states,
     StepOutput with (F, S) leading layout — the track_video_multi
-    convention).  Poison (global-search) semantics are per stream: only
-    the poisoned stream re-runs from its last good chunk, through
+    convention).  inkernel_global (None = auto-probe) commits global
+    frames on-chip; otherwise poison semantics are per stream: only the
+    poisoned stream re-runs from its last good chunk, through
     track_video_mega (scan path for the poisoned chunk, mega again after).
     Device-resident videos are accepted (pvot.tracker.scan.as_frames).
     """
@@ -456,15 +612,24 @@ def track_streams_mega(
     g = MegaGeometry((h, w), (th, tw), config)
     if f == 0 or videos.dtype != np.uint8 or not g.supported() or (
         batch > 1 and (batch & (batch - 1) or f < batch)
-    ) or (
-        not _probe
-        and not mega_multi_supported(
-            (h, w), (th, tw), config, interpret=interpret, batch=batch,
-        )
     ):
         return _track_streams_scan(
             videos, states, config, chunk_size, scan_backend, batch=batch
         )
+    ikg = inkernel_global
+    if not _probe:
+        if ikg is None:
+            ikg = config.enable_global_search and mega_multi_supported(
+                (h, w), (th, tw), config, interpret=interpret, batch=batch,
+                inkernel_global=True,
+            )
+        if not ikg and not mega_multi_supported(
+            (h, w), (th, tw), config, interpret=interpret, batch=batch,
+        ):
+            return _track_streams_scan(
+                videos, states, config, chunk_size, scan_backend, batch=batch
+            )
+    ikg = bool(ikg)
 
     cs = min(chunk_size, f)
     if batch > 1:  # chunk boundaries must sit on batch boundaries
@@ -500,6 +665,7 @@ def track_streams_mega(
             config=config,
             interpret=interpret,
             batch=batch,
+            inkernel_global=ikg,
         )
         st = extract(rows, tplout)
         rows_chunks.append(rows)
@@ -531,6 +697,7 @@ def track_streams_mega(
             fs, out = track_video_mega(
                 videos[s, poisoned_at * cs :], snap, config, chunk_size=cs,
                 scan_backend=scan_backend, interpret=interpret, batch=batch,
+                inkernel_global=ikg if _probe else None,
             )
             final_states[s] = fs
             chunks_out.append(out)
@@ -548,13 +715,17 @@ def mega_objects_supported(
     templ_shape: Tuple[int, int],
     config: TrackerConfig,
     interpret: bool = False,
+    inkernel_global: bool = False,
 ) -> bool:
     """Compile + numerics probe for the MULTI-OBJECT mega kernel (shared
     frames, (k, 0)-indexed state blocks) at the served geometry, against
-    per-object single-tracker runs of the same clip."""
+    per-object single-tracker runs of the same clip.  inkernel_global=True
+    starts object 0 with its bbox center outside the frame so it loses and
+    re-acquires on-chip while object 1 tracks locally through the SAME
+    frames (the pasted patch is shared — both objects see it)."""
     key = (
         "objects", jax.default_backend(), frame_shape, templ_shape, config,
-        interpret,
+        interpret, inkernel_global,
     )
     if key not in _SUPPORT_CACHE:
         try:
@@ -564,12 +735,16 @@ def mega_objects_supported(
             rng = np.random.default_rng(13)
             h, w = frame_shape
             th, tw = templ_shape
-            frames = rng.integers(0, 256, (5, h, w), np.uint8)
+            n_probe = 7 if inkernel_global else 5
+            frames = rng.integers(0, 256, (n_probe, h, w), np.uint8)
             from pvot.io.gray import gray_u8_to_f32
             from pvot.tracker.state import init_state
 
             states = []
             for k in range(2):
+                if inkernel_global and k == 0:
+                    states.append(_global_probe_clip(frames, (th, tw)))
+                    continue
                 x = (w - tw) // 2 + 3 * k
                 y = (h - th) // 2 - 2 * k
                 templ = jnp.asarray(
@@ -580,17 +755,19 @@ def mega_objects_supported(
             _, got = track_objects_mega(
                 frames[1:], stacked, config, chunk_size=4,
                 interpret=interpret, _probe=True,
+                inkernel_global=inkernel_global,
             )
             for k in range(2):
                 _, want = track_video(
                     frames[1:], states[k], config, strategy="fused",
                     backend="pallas_shear", chunk_size=4,
                 )
-                if not (
-                    np.array_equal(want.bbox, got.bbox[:, k])
-                    and np.array_equal(want.updated, got.updated[:, k])
-                    and np.allclose(want.score, got.score[:, k], atol=1e-5)
-                ):
+                got_k = StepOutput(
+                    bbox=got.bbox[:, k], score=got.score[:, k],
+                    used_global=got.used_global[:, k],
+                    updated=got.updated[:, k],
+                )
+                if not _outputs_equal(want, got_k):
                     raise ValueError(
                         f"mega objects probe mismatch (object {k}): "
                         f"{got.bbox[:, k].tolist()} vs {want.bbox.tolist()}"
@@ -622,6 +799,7 @@ def track_objects_mega(
     scan_backend: str = "pallas_shear",
     interpret: bool = False,
     _probe: bool = False,
+    inkernel_global=None,
 ) -> Tuple[TrackerState, StepOutput]:
     """Track K objects through ONE pre-decoded uint8 clip (F, H, W) on the
     multi-object mega path: every chunk runs all K trackers in ONE
@@ -644,18 +822,29 @@ def track_objects_mega(
     k_objects = int(np.shape(states.t_mean)[0])
     th, tw = states.template.shape[-2:]
     g = MegaGeometry((h, w), (th, tw), config)
-    if f == 0 or frames.dtype != np.uint8 or not g.supported() or (
-        not _probe
-        and not mega_objects_supported(
-            (h, w), (th, tw), config, interpret=interpret
-        )
-    ):
+
+    def multi_fallback():
         from pvot.parallel.multi import track_video_multi
 
         return track_video_multi(
             frames, states, config, strategy="fused", backend=scan_backend,
             chunk_size=chunk_size,
         )
+
+    if f == 0 or frames.dtype != np.uint8 or not g.supported():
+        return multi_fallback()
+    ikg = inkernel_global
+    if not _probe:
+        if ikg is None:
+            ikg = config.enable_global_search and mega_objects_supported(
+                (h, w), (th, tw), config, interpret=interpret,
+                inkernel_global=True,
+            )
+        if not ikg and not mega_objects_supported(
+            (h, w), (th, tw), config, interpret=interpret
+        ):
+            return multi_fallback()
+    ikg = bool(ikg)
 
     cs = min(chunk_size, f)
     num_chunks = -(-f // cs)
@@ -687,6 +876,7 @@ def track_objects_mega(
             templ_shape=(th, tw),
             config=config,
             interpret=interpret,
+            inkernel_global=ikg,
         )
         st = extract(rows, tplout)
         rows_chunks.append(rows)
@@ -715,6 +905,7 @@ def track_objects_mega(
             fs, out = track_video_mega(
                 frames[poisoned_at * cs :], snap, config, chunk_size=cs,
                 scan_backend=scan_backend, interpret=interpret,
+                inkernel_global=ikg if _probe else None,
             )
             final_states[k] = fs
             chunks_out.append(out)

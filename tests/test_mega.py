@@ -42,6 +42,21 @@ def _assert_equal(want, got):
     np.testing.assert_allclose(want.score, got.score, atol=1e-5)
 
 
+def _assert_equal_global(want, got):
+    """Equality contract for in-kernel global-search runs: bboxes/flags
+    bit-equal; ACCEPTED scores strict (1e-5); REJECTED scores 2e-3 — a
+    rejected score is a max over noise/near-flat positions where
+    cross-engine numerics amplify (pvot.tracker.mega._outputs_equal)."""
+    np.testing.assert_array_equal(want.bbox, got.bbox)
+    np.testing.assert_array_equal(want.updated, got.updated)
+    np.testing.assert_array_equal(want.used_global, got.used_global)
+    acc = np.asarray(want.updated)
+    np.testing.assert_allclose(
+        np.asarray(want.score)[acc], np.asarray(got.score)[acc], atol=1e-5
+    )
+    np.testing.assert_allclose(want.score, got.score, atol=2e-3)
+
+
 def test_mega_matches_scan_path():
     frames, state = _setup(SPEC)
     want_state, want = track_video(
@@ -79,7 +94,10 @@ def test_mega_tail_chunk_masking():
 
 def test_mega_poison_reruns_global_frames():
     """A lost-object clip must poison and re-run through the scan path,
-    ending with IDENTICAL records incl. used_global frames."""
+    ending with IDENTICAL records incl. used_global frames.
+    inkernel_global=False pins the poison-transaction kernel — it stays
+    the fallback for geometries where only the local-mode kernel
+    compiles, so its machinery keeps its own coverage."""
     spec = SyntheticSpec(
         width=250, height=94, num_frames=18, target_w=16, target_h=16,
         seed=5, exit_and_reenter=True,
@@ -94,12 +112,126 @@ def test_mega_poison_reruns_global_frames():
     )
     got_state, got = track_video_mega(
         frames[1:], state, config, chunk_size=4, scan_backend="xla",
-        interpret=True,
+        interpret=True, inkernel_global=False,
     )
     assert want.used_global.any(), "fixture must actually trigger global"
     _assert_equal(want, got)
     assert int(got_state.bbox_x) == int(want_state.bbox_x)
     assert bool(got_state.use_global) == bool(want_state.use_global)
+
+
+def test_mega_inkernel_global_matches_scan():
+    """The round-4 in-kernel global-search kernel commits lost-object
+    frames ON-CHIP (no poison, no scan re-run) with records bit-identical
+    to the scan path, including used_global and the global->local
+    re-acquisition transition."""
+    spec = SyntheticSpec(
+        width=250, height=94, num_frames=18, target_w=16, target_h=16,
+        seed=5, exit_and_reenter=True,
+    )
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    frames, state = _setup(spec)
+    want_state, want = track_video(
+        frames[1:], state, config, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    # _probe=True skips the support probe; inkernel_global=True forces the
+    # global-mode kernel, so ANY global frame reaching the poison/rollback
+    # path would desync the records and fail the equality below.
+    got_state, got = track_video_mega(
+        frames[1:], state, config, chunk_size=4, scan_backend="xla",
+        interpret=True, _probe=True, inkernel_global=True,
+    )
+    assert want.used_global.any(), "fixture must actually trigger global"
+    _assert_equal_global(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+    assert bool(got_state.use_global) == bool(want_state.use_global)
+    np.testing.assert_allclose(
+        np.asarray(got_state.template), np.asarray(want_state.template),
+        atol=1e-6,
+    )
+
+
+def test_mega_inkernel_global_strip_cover():
+    """Re-acquisition is POSITIONALLY exact across the whole strip grid:
+    the target reappears at positions chosen to land in interior strips,
+    edge (clamped) strips, and strip-overlap regions, and the in-kernel
+    full-map argmax must recover the exact scan-path bbox every time (the
+    accepted-match score towers over the noise floor, so this isolates
+    the strip cover + absolute-coordinate lexicographic combine from the
+    rejected-frame noise-max tolerance)."""
+    from pvot.ops.ncc_mega import TX, MegaGeometry
+
+    rng = np.random.default_rng(21)
+    h, w, t = 94, 250, 16
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=1,
+        min_confidence=0.4, global_confidence=0.4,
+    )
+    g = MegaGeometry((h, w), (t, t), config)
+    base = rng.integers(0, 256, (h, w), np.uint8)
+    x0, y0 = (w - t) // 2, (h - t) // 2
+    patch = base[y0 : y0 + t, x0 : x0 + t].copy()
+    # Positions: map origin, strip-row boundary, lane-tile boundary (TX),
+    # clamped right/bottom edges, and an interior overlap region.
+    targets = [
+        (0, 0),
+        (0, max(0, g.ty - t // 2)),
+        (min(w - t, TX - t // 2), 0),
+        (w - t, h - t),
+        (min(w - t, TX + 7), min(h - t, g.ty + 5)),
+    ]
+    frames = [base]
+    for px, py in targets:
+        gone = rng.integers(0, 256, (2, h, w), np.uint8)  # lose the target
+        back = rng.integers(0, 256, (h, w), np.uint8)
+        back[py : py + t, px : px + t] = patch
+        frames += [gone[0], gone[1], back, back]  # re-acquire + settle
+    frames = np.stack(frames)
+    templ = jnp.asarray(gray_u8_to_f32(base)[y0 : y0 + t, x0 : x0 + t])
+    state = init_state(templ, (x0, y0, t, t))
+    want_state, want = track_video(
+        frames[1:], state, config, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    got_state, got = track_video_mega(
+        frames[1:], state, config, chunk_size=4, scan_backend="xla",
+        interpret=True, _probe=True, inkernel_global=True,
+    )
+    assert want.used_global.sum() >= len(targets), "every cycle must global"
+    for px, py in targets:
+        assert any(
+            (b[0], b[1]) == (px, py) for b in want.bbox
+        ), f"oracle must re-acquire at {(px, py)}"
+    _assert_equal_global(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+
+
+def test_mega_auto_mode_prefers_inkernel_global():
+    """With inkernel_global unset, the driver probes the global-mode
+    kernel first and serves it when it proves out (records still exact)."""
+    from pvot.tracker import mega as mega_mod
+
+    frames, state = _setup(SPEC)
+    want_state, want = track_video(
+        frames[1:], state, CONFIG, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    got_state, got = track_video_mega(
+        frames[1:], state, CONFIG, chunk_size=4, scan_backend="xla",
+        interpret=True,
+    )
+    _assert_equal(want, got)
+    key = (
+        "cpu", (SPEC.height, SPEC.width),
+        (SPEC.target_h, SPEC.target_w), CONFIG, True, 1, True,
+    )
+    assert mega_mod._SUPPORT_CACHE.get(key) is True, (
+        "auto mode must have probed (and adopted) the in-kernel global "
+        "kernel at this geometry"
+    )
 
 
 def test_device_resident_frames_match_host():
@@ -727,7 +859,7 @@ def test_mega_batch_poison_reruns_on_batched_scan():
     )
     got_state, got = track_video_mega(
         frames[1:], state, config, chunk_size=4, scan_backend="xla",
-        interpret=True, batch=2,
+        interpret=True, batch=2, inkernel_global=False,
     )
     assert want.used_global.any(), "fixture must actually trigger global"
     _assert_equal(want, got)
@@ -763,6 +895,121 @@ def test_mega_multi_stream_batch_matches_per_stream():
         np.testing.assert_array_equal(want.updated, got.updated[:, s])
         np.testing.assert_allclose(want.score, got.score[:, s], atol=1e-5)
         assert int(got_states.bbox_x[s]) == int(want_state.bbox_x)
+
+
+def test_mega_batch_inkernel_global_matches_batched_scan():
+    """Batch cadence composes with the in-kernel global search: lost-object
+    frames at the cadence commit on-chip, records match the batched scan
+    path exactly (incl. used_global on scored frames, False on skipped)."""
+    from pvot.tracker.scan import track_video_batched
+
+    spec = SyntheticSpec(
+        width=250, height=94, num_frames=18, target_w=16, target_h=16,
+        seed=5, exit_and_reenter=True,
+    )
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=1
+    )
+    frames, state = _setup(spec)
+    want_state, want = track_video_batched(
+        frames[1:], state, config, batch_size=2, backend="xla",
+    )
+    got_state, got = track_video_mega(
+        frames[1:], state, config, chunk_size=4, scan_backend="xla",
+        interpret=True, batch=2, _probe=True, inkernel_global=True,
+    )
+    assert want.used_global.any(), "fixture must actually trigger global"
+    _assert_equal_global(want, got)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+    assert bool(got_state.use_global) == bool(want_state.use_global)
+
+
+def test_mega_multi_stream_inkernel_global():
+    """Multi-stream grid with in-kernel global search: the lost stream
+    re-acquires ON-CHIP while the clean stream's records are untouched —
+    no poison lanes, no per-stream rollback."""
+    import itertools
+
+    import jax
+
+    from pvot.io.synthetic import generate_gray_frames
+    from pvot.tracker.mega import track_streams_mega
+
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    spec_ok = SyntheticSpec(
+        width=250, height=94, num_frames=120, target_w=16, target_h=16,
+        seed=3, noise_std=1.0,
+    )
+    spec_lost = SyntheticSpec(
+        width=250, height=94, num_frames=18, target_w=16, target_h=16,
+        seed=5, exit_and_reenter=True,
+    )
+    videos, states = [], []
+    for spec in (spec_ok, spec_lost):
+        frames = np.stack(
+            list(itertools.islice(generate_gray_frames(spec), 18))
+        )
+        x, y, w, h = target_bbox(spec, 0)
+        templ = jnp.asarray(gray_u8_to_f32(frames[0])[y : y + h, x : x + w])
+        videos.append(frames)
+        states.append(init_state(templ, (x, y, w, h)))
+    videos = np.stack(videos)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    got_states, got = track_streams_mega(
+        videos[:, 1:], stacked, config, chunk_size=4, scan_backend="xla",
+        interpret=True, _probe=True, inkernel_global=True,
+    )
+    assert got.used_global[:, 1].any(), "lost stream must go global"
+    assert not got.used_global[:, 0].any()
+    for s in range(2):
+        want_state, want = track_video(
+            videos[s, 1:], states[s], config, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        got_s = type(want)(
+            bbox=got.bbox[:, s], score=got.score[:, s],
+            used_global=got.used_global[:, s], updated=got.updated[:, s],
+        )
+        _assert_equal_global(want, got_s)
+        assert int(got_states.bbox_x[s]) == int(want_state.bbox_x)
+
+
+def test_mega_multi_object_inkernel_global():
+    """Multi-object grid (shared frames) with in-kernel global search: the
+    object starting outside the frame re-acquires on-chip; the centered
+    object tracks locally through the same clip."""
+    import jax
+
+    from pvot.tracker.mega import track_objects_mega
+
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    frames, state = _setup(SPEC)
+    x, y, w, h = target_bbox(SPEC, 0)
+    # Object 1 starts with its bbox center outside the frame: immediate
+    # global mode, then re-acquisition of the same target.
+    lost_state = init_state(state.template, (-(w // 2) - 2, y, w, h))
+    states = [state, lost_state]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    got_states, got = track_objects_mega(
+        frames[1:], stacked, config, chunk_size=4, scan_backend="xla",
+        interpret=True, _probe=True, inkernel_global=True,
+    )
+    assert got.used_global[:, 1].any(), "lost object must go global"
+    for k in range(2):
+        want_state, want = track_video(
+            frames[1:], states[k], config, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        got_k = type(want)(
+            bbox=got.bbox[:, k], score=got.score[:, k],
+            used_global=got.used_global[:, k], updated=got.updated[:, k],
+        )
+        _assert_equal_global(want, got_k)
+        assert int(got_states.bbox_x[k]) == int(want_state.bbox_x)
 
 
 def test_mega_batch_non_pow2_falls_back():

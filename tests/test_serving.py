@@ -46,6 +46,20 @@ def _assert_stream_equal(want, got):
     np.testing.assert_allclose(want.score, got.score, atol=1e-5)
 
 
+def _assert_stream_equal_global(want, got):
+    """In-kernel global-search serving contract: bboxes/flags bit-equal,
+    accepted scores strict, rejected scores engine-grade (see
+    pvot.tracker.mega._outputs_equal)."""
+    np.testing.assert_array_equal(want.bbox, got.bbox)
+    np.testing.assert_array_equal(want.updated, got.updated)
+    np.testing.assert_array_equal(want.used_global, got.used_global)
+    acc = np.asarray(want.updated)
+    np.testing.assert_allclose(
+        np.asarray(want.score)[acc], np.asarray(got.score)[acc], atol=1e-5
+    )
+    np.testing.assert_allclose(want.score, got.score, atol=2e-3)
+
+
 def test_stream_feed_holds_after_end(rng):
     frames = rng.integers(0, 256, size=(6, 8, 8), dtype=np.uint8)
     feed = _StreamFeed(iter(frames), (8, 8), chunk_size=4)
@@ -139,6 +153,39 @@ def test_serve_streams_mega_per_stream_poison(depth):
             backend="xla", chunk_size=4,
         )
         _assert_stream_equal(want, outs[s])
+        assert int(final.bbox_x[s]) == int(want_state.bbox_x)
+
+
+def test_serve_streams_mega_inkernel_global():
+    """Serving with the in-kernel global-search kernel: the lost stream
+    re-acquires ON-CHIP — no poison lanes, no rollback re-runs, no
+    pipeline disturbance — and both trajectories match the scan oracle
+    (the round-4 occlusion-regime fix at the serving layer)."""
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    videos, states, stacked = _make_streams(
+        [17, 17],
+        spec_overrides=(
+            dict(num_frames=120),
+            dict(seed=5, exit_and_reenter=True, noise_std=2.0),
+        ),
+    )
+    videos = [v[:18] for v in videos]
+    final, outs = serve_streams(
+        [iter(v[1:]) for v in videos], stacked, (94, 250), config,
+        backend="mega", scan_backend="xla", chunk_size=4,
+        pipeline_depth=2, interpret=True, _probe=True,
+        inkernel_global=True,
+    )
+    assert outs[1].used_global.any(), "lost stream must go global"
+    assert not outs[0].used_global.any()
+    for s in range(2):
+        want_state, want = track_video(
+            videos[s][1:], states[s], config, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        _assert_stream_equal_global(want, outs[s])
         assert int(final.bbox_x[s]) == int(want_state.bbox_x)
 
 
@@ -365,6 +412,37 @@ def test_serve_objects_mega_interpret(depth):
         np.testing.assert_array_equal(want.bbox, out.bbox[:, k])
         np.testing.assert_array_equal(want.updated, out.updated[:, k])
         np.testing.assert_allclose(want.score, out.score[:, k], atol=1e-5)
+        assert int(final.bbox_x[k]) == int(want_state.bbox_x)
+
+
+def test_serve_objects_mega_inkernel_global():
+    """serve_objects with the in-kernel global-search kernel: the lane
+    that exits the frame re-acquires on-chip, the static-patch lane is
+    untouched, both match lone-tracker oracles."""
+    from pvot.io.serving import serve_objects
+
+    config = TrackerConfig(
+        search_radius_x=8, search_radius_y=8, lost_frame_threshold=2
+    )
+    frames, states, stacked = _make_objects_clip(
+        n_frames=17, exit_and_reenter=True
+    )
+    final, out = serve_objects(
+        iter(frames[1:]), stacked, (94, 250), config,
+        backend="mega", scan_backend="xla", chunk_size=4,
+        interpret=True, _probe=True, inkernel_global=True,
+    )
+    assert out.used_global[:, 1].any(), "exiting lane must go global"
+    for k in range(2):
+        want_state, want = track_video(
+            frames[1:], states[k], config, strategy="fused",
+            backend="xla", chunk_size=4,
+        )
+        got_k = type(want)(
+            bbox=out.bbox[:, k], score=out.score[:, k],
+            used_global=out.used_global[:, k], updated=out.updated[:, k],
+        )
+        _assert_stream_equal_global(want, got_k)
         assert int(final.bbox_x[k]) == int(want_state.bbox_x)
 
 
