@@ -26,6 +26,24 @@ import pytest  # noqa: E402
 from pvot.io.synthetic import SyntheticSpec, generate_gray_video  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop JAX's in-process executable caches after each test module.
+
+    The full suite (but no file subset — bisected) deterministically
+    segfaults inside jaxlib's native deserialize_executable
+    (compilation_cache.get_executable_and_time) when a persistent-cache
+    READ happens late in a long process: ~200 tests of accumulated live
+    CPU executables, then the big serving program's warm-cache hit crashes
+    (fds=11, threads=20, RSS 6.7 GB at crash — not resource exhaustion;
+    the same entry deserializes fine at low accumulation).  Clearing the
+    in-process caches between modules keeps every module's accumulation at
+    the level the bisect runs proved safe; recompiles across modules stay
+    cheap through the persistent cache."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def small_spec():
     """Small clip: fast on CPU, still exercises real geometry."""
