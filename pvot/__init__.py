@@ -57,4 +57,8 @@ def __getattr__(name):  # lazy heavyweight entry points
         from pvot.io.serving import serve_objects
 
         return serve_objects
+    if name == "serve_streams_grouped":
+        from pvot.io.serving import serve_streams_grouped
+
+        return serve_streams_grouped
     raise AttributeError(f"module 'pvot' has no attribute {name!r}")

@@ -9,12 +9,19 @@ per-stream transactional global-search rollback and automatic fallback to
 the lockstep scan engines outside the mega envelope.
 
 Headless by design (serving has no interactive window): ROIs come from
---roi — one shared by all streams or one per stream.  All streams must
-share the frame size, and all ROIs one (W, H): the serving layout stacks
-templates along a leading stream axis (pvot.parallel.multi.init_multi_state).
+--roi — one shared by all streams or one per stream.  Homogeneous inputs
+(one frame size, one ROI W,H) serve through the stacked-template layout
+(pvot.parallel.multi.init_multi_state); MIXED frame sizes and/or ROI sizes
+(the real multi-camera case) serve through geometry groups — one
+multi-stream mega call per (frame size, template size) group, groups
+running concurrently (pvot.io.serving.serve_streams_grouped).  In
+multi-object mode (several --roi over ONE stream) mixed ROI sizes use the
+bucketed layout: one shared-frame mega call, per-object traced extents
+(pvot.parallel.multi.init_multi_state_bucketed).
 
 Examples:
   pvot-serve cam0.mp4 cam1.mp4 cam2.mp4 --roi 600,320,80,80
+  pvot-serve cam720p.mp4 cam1080p.mp4 --roi 600,320,80,80 --roi 100,90,64,48
   pvot-serve --synthetic 1280x720x300 --streams 8 --fast
 """
 
@@ -188,11 +195,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 closers.append(readers[-1])
             except Exception as e:
                 return _fail(f"Cannot open video {path!r}: {e}")
-        sizes = {r.size for r in readers}
-        if len(sizes) != 1:
-            return _fail(
-                f"All streams must share one frame size; got {sizes}"
-            )
+        # Mixed frame sizes are served by geometry groups
+        # (pvot.serve_streams_grouped); homogeneous inputs keep the single
+        # stacked-layout path.
+        frame_shapes = [(r.size[1], r.size[0]) for r in readers]
         width, height = readers[0].size
         frame_shape = (height, width)
         firsts, feeds, default_rois = [], [], []
@@ -206,10 +212,26 @@ def main(argv: Optional[List[str]] = None) -> int:
             feeds.append(_limit(iter(r), args.max_frames))
 
     n_streams = len(feeds)
+    if args.synthetic:
+        frame_shapes = [frame_shape] * n_streams
+    hetero_frames = len(set(frame_shapes)) > 1
 
     if args.resume:
+        import os
+
         from pvot.utils.checkpoint import load_state
 
+        # Heterogeneous checkpoints are one file per stream
+        # (PREFIX.s<K>.npz, written by _run_serving_grouped).
+        per_stream = [f"{args.resume}.s{s}.npz" for s in range(n_streams)]
+        if all(os.path.exists(p) for p in per_stream):
+            try:
+                states_list = [load_state(p) for p in per_stream]
+            except (OSError, ValueError, KeyError) as e:
+                return _fail(f"Cannot resume from {args.resume!r}: {e}")
+            return _run_serving_grouped(
+                args, feeds, states_list, frame_shapes, None, closers
+            )
         try:
             states = load_state(args.resume)
         except (OSError, ValueError, KeyError) as e:
@@ -263,14 +285,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         rois = default_rois
     else:
         return _fail("File streams need --roi (serving is headless)")
-    if len({(rw, rh) for _, _, rw, rh in rois}) != 1:
-        return _fail(
-            "All ROIs must share one W,H (stacked-template serving layout); "
-            f"got {sorted({(rw, rh) for _, _, rw, rh in rois})}"
-        )
+    hetero_rois = len({(rw, rh) for _, _, rw, rh in rois}) != 1
 
-    fh, fw = frame_shape
     for s, (x, y, rw, rh) in enumerate(rois):
+        fh, fw = frame_shape if objects_mode else frame_shapes[s]
         if x < 0 or y < 0 or x + rw > fw or y + rh > fh:
             return _fail(
                 f"--roi {x},{y},{rw},{rh} (stream {s}) lies outside the "
@@ -281,12 +299,39 @@ def main(argv: Optional[List[str]] = None) -> int:
         jnp.asarray(gray_u8_to_f32(first)[y : y + rh, x : x + rw])
         for first, (x, y, rw, rh) in zip(template_firsts, rois)
     ]
-    states = init_multi_state(templates, rois)
     if objects_mode:
+        if hetero_rois:
+            # Mixed template sizes over one stream: the BUCKETED layout
+            # (zero-padded to the max extent, traced per-object extents —
+            # pvot.parallel.multi.init_multi_state_bucketed; the mega
+            # kernel runs it natively, round 4).
+            from pvot.parallel.multi import init_multi_state_bucketed
+
+            states = init_multi_state_bucketed(
+                [np.asarray(t) for t in templates], rois
+            )
+            bw = max(r[2] for r in rois)
+            bh = max(r[3] for r in rois)
+            return _run_objects(
+                args, feeds[0], states, frame_shape, (bw, bh), closers,
+            )
+        states = init_multi_state(templates, rois)
         return _run_objects(
             args, feeds[0], states, frame_shape,
             (rois[0][2], rois[0][3]), closers,
         )
+    if hetero_rois or hetero_frames:
+        # Heterogeneous serving: per-stream states, geometry-grouped mega
+        # calls (pvot.io.serving.serve_streams_grouped).
+        from pvot.tracker.state import init_state
+
+        states_list = [
+            init_state(t, r) for t, r in zip(templates, rois)
+        ]
+        return _run_serving_grouped(
+            args, feeds, states_list, frame_shapes, rois, closers
+        )
+    states = init_multi_state(templates, rois)
     return _run_serving(
         args, feeds, states, frame_shape, (rois[0][2], rois[0][3]), closers
     )
@@ -365,6 +410,106 @@ def _run_objects(args, feed, states, frame_shape, templ_wh, closers) -> int:
     return 0
 
 
+def _run_serving_grouped(
+    args, feeds, states_list, frame_shapes, rois, closers
+) -> int:
+    """Heterogeneous serving: per-stream states, geometry-grouped mega
+    calls (pvot.io.serving.serve_streams_grouped)."""
+    from pvot.io.serving import serve_streams_grouped
+
+    n_streams = len(feeds)
+    config = TrackerConfig(
+        **(
+            {"search_radius_x": args.search_radius,
+             "search_radius_y": args.search_radius}
+            if args.search_radius is not None else {}
+        )
+    ).validate()
+
+    devices = None
+    if args.devices > 0:
+        import jax
+
+        devices = jax.devices()[: args.devices]
+    shapes = sorted(
+        {
+            (fs, tuple(np.shape(st.template)))
+            for fs, st in zip(frame_shapes, states_list)
+        }
+    )
+    groups = ", ".join(
+        f"{fw}x{fh}/t{tw}x{th}" for (fh, fw), (th, tw) in shapes
+    )
+    print(f"Serving {n_streams} streams in {len(shapes)} geometry groups "
+          f"({groups}), chunk {args.chunk_size}, "
+          f"tier {'fast' if args.fast else 'highest'}"
+          + (f", {len(devices)} devices" if devices else ""))
+    timings: list = []
+    t0 = time.perf_counter()
+    try:
+        finals, outs = serve_streams_grouped(
+            feeds, states_list, frame_shapes, config,
+            scan_backend=args.scan_backend,
+            chunk_size=args.chunk_size, timings=timings,
+            highest=not args.fast, pipeline_depth=args.pipeline_depth,
+            prepad=not args.no_prepad, devices=devices,
+        )
+        elapsed = time.perf_counter() - t0
+    finally:  # decoder handles must not leak if a stream raises mid-serve
+        for c in closers:
+            c.close()
+
+    total = 0
+    for s, out in enumerate(outs):
+        n = out.bbox.shape[0]
+        total += n
+        score = float(np.mean(out.score)) if n else float("nan")
+        print(
+            f"stream {s}: frames={n}, updated={int(out.updated.sum())}, "
+            f"global={int(out.used_global.sum())}, mean_score={score:.4f}, "
+            f"final_bbox={out.bbox[-1].tolist() if n else None}"
+        )
+    fps = total / elapsed if elapsed > 0 else 0.0
+    print(
+        f"Serving summary: streams={n_streams}, frames={total}, "
+        f"time={elapsed:.6g} s, aggregate FPS={fps:.6g}"
+    )
+
+    if args.trajectory_out:
+        _write_trajectories(args.trajectory_out, outs)
+
+    if args.checkpoint_out:
+        from pvot.utils.checkpoint import save_state
+
+        # One file per stream: heterogeneous states cannot stack.
+        for s, final in enumerate(finals):
+            save_state(f"{args.checkpoint_out}.s{s}.npz", final)
+        print(
+            f"Checkpoints saved: {args.checkpoint_out}.s<K>.npz "
+            f"({n_streams} per-stream states; resume with "
+            f"--resume {args.checkpoint_out})"
+        )
+    return 0
+
+
+def _write_trajectories(prefix: str, outs) -> None:
+    import json
+
+    for s, out in enumerate(outs):
+        path = f"{prefix}.s{s}.jsonl"
+        with open(path, "w") as f:
+            for i in range(out.bbox.shape[0]):
+                f.write(json.dumps({
+                    "stream": s,
+                    "frame": 1 + i,
+                    "bbox": np.asarray(out.bbox[i]).tolist(),
+                    "score": round(float(out.score[i]), 6),
+                    "used_global": bool(out.used_global[i]),
+                    "updated": bool(out.updated[i]),
+                }) + "\n")
+    print(f"Trajectories written: {prefix}.s*.jsonl")
+
+
 def _run_serving(args, feeds, states, frame_shape, templ_wh, closers) -> int:
     from pvot.io.serving import serve_streams
 
@@ -420,21 +565,7 @@ def _run_serving(args, feeds, states, frame_shape, templ_wh, closers) -> int:
     )
 
     if args.trajectory_out:
-        import json
-
-        for s, out in enumerate(outs):
-            path = f"{args.trajectory_out}.s{s}.jsonl"
-            with open(path, "w") as f:
-                for i in range(out.bbox.shape[0]):
-                    f.write(json.dumps({
-                        "stream": s,
-                        "frame": 1 + i,
-                        "bbox": np.asarray(out.bbox[i]).tolist(),
-                        "score": round(float(out.score[i]), 6),
-                        "used_global": bool(out.used_global[i]),
-                        "updated": bool(out.updated[i]),
-                    }) + "\n")
-        print(f"Trajectories written: {args.trajectory_out}.s*.jsonl")
+        _write_trajectories(args.trajectory_out, outs)
 
     if args.checkpoint_out:
         from pvot.utils.checkpoint import save_state

@@ -273,13 +273,12 @@ def _track_stream_mega(
     import jax
     import jax.numpy as jnp
 
-    from pvot.ops.ncc_mega import MegaGeometry, O_POISON, mega_track_chunk
-    from pvot.tracker.mega import _rows_to_output, _state_from_chunk
+    from pvot.ops.ncc_mega import MegaGeometry, O_POISON
+    from pvot.tracker.mega import _rows_to_output, mega_chunk_step
     from pvot.tracker.scan import _cached_masked_scan, _stack_outputs
 
     h, w = frame_shape
     th, tw = state.template.shape
-    state_extract = jax.jit(_state_from_chunk)
     scan_fn = None  # built lazily: only a poisoned chunk needs it
     pipe = FramePipeline(frame_iter, frame_shape, chunk_size=chunk_size)
     # Host-pre-padded staging (the bench.py mega default): one reused
@@ -296,18 +295,12 @@ def _track_stream_mega(
             snapshot = state
             staged[:, :h, :w] = chunk
             dev_chunk = jax.device_put(staged)
-            rows, tplout = mega_track_chunk(
-                dev_chunk,
-                jnp.stack(
-                    [state.bbox_x, state.bbox_y, state.bbox_w, state.bbox_h]
-                ).astype(jnp.int32),
-                state.template, state.t_mean, state.t_std,
-                state.lost_count, state.use_global, jnp.int32(n_real),
+            rows, state = mega_chunk_step(
+                dev_chunk, state, n_real,
                 frame_shape=(h, w), templ_shape=(th, tw), config=config,
                 interpret=interpret, batch=batch,
                 inkernel_global=inkernel_global,
             )
-            state = state_extract(rows, tplout)
             rows.copy_to_host_async()
             host_rows = np.asarray(rows)[:n_real]
             if (host_rows[:, O_POISON] != 0.0).any():

@@ -28,6 +28,11 @@ per stream via pvot.parallel.multi.make_stream_masked_scan_fn) until every
 stream is drained.  Outside the mega envelope — or if the per-geometry
 compile+numerics probe fails — serving falls back to the lockstep vmapped
 scan engines with the same output contract.
+
+Heterogeneous inputs (mixed frame sizes / template sizes — the real
+multi-camera case) serve through serve_streams_grouped: geometry groups,
+one mega call per group chunk, groups running concurrently in host
+threads (round 4).
 """
 
 from __future__ import annotations
@@ -299,6 +304,106 @@ def _serve_streams_multidevice(
     return final, outs
 
 
+def serve_streams_grouped(
+    frame_iters: Sequence[Iterable[np.ndarray]],
+    states_list: Sequence,
+    frame_shapes: Sequence[Tuple[int, int]],
+    config=None,
+    backend: str = "mega",
+    scan_backend: str = "pallas_shear",
+    chunk_size: int = 32,
+    timings: Optional[list] = None,
+    highest: bool = True,
+    pipeline_depth: int = 2,
+    devices: Optional[Sequence] = None,
+    prepad: bool = True,
+    interpret: bool = False,
+    _probe: bool = False,
+    inkernel_global=None,
+):
+    """Serve S live streams with HETEROGENEOUS geometries (round-4 VERDICT
+    item 4): streams may differ in frame size and/or template size — the
+    real multi-camera case the homogeneous serve_streams layout (one
+    stacked-template mega grid) cannot express.
+
+    Streams group by (frame_shape, template_shape); each group serves
+    through the ordinary serve_streams driver — one multi-stream mega call
+    per group chunk, per-group pipelining, per-group scan fallback — in its
+    own host thread, so the groups' device dispatches interleave exactly
+    like the devices= fan-out's (streams are independent; no collectives).
+    Per-stream semantics are identical to serving each group alone.
+
+    frame_iters: S frame iterables.  states_list: S SINGLE-stream
+    TrackerStates (pvot.init_state), one per stream — unlike serve_streams
+    there is no stacked layout to build, since shapes differ.
+    frame_shapes: S (H, W) pairs.  devices: optional device list; groups
+    round-robin over it (group g on devices[g % len]).
+
+    Returns (list of S final single-stream TrackerStates, list of S host
+    StepOutputs) in input order.  timings, when given, receives each
+    group's per-chunk (frames, seconds) pairs concatenated group by group
+    (groups run concurrently, so pairs interleave in wall time).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+
+    config = config or TrackerConfig()
+    n = len(frame_iters)
+    if len(states_list) != n or len(frame_shapes) != n:
+        raise ValueError(
+            f"{n} frame iterators for {len(states_list)} states / "
+            f"{len(frame_shapes)} frame shapes"
+        )
+    groups: dict = {}  # (frame_shape, templ_shape) -> [stream indices]
+    for s in range(n):
+        key = (
+            tuple(frame_shapes[s]),
+            tuple(np.shape(states_list[s].template)),
+        )
+        groups.setdefault(key, []).append(s)
+    group_list = list(groups.items())
+
+    def run_group(gi, key, idxs):
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[states_list[i] for i in idxs]
+        )
+        group_timings: Optional[list] = [] if timings is not None else None
+        dev = [devices[gi % len(devices)]] if devices else None
+        final, outs = serve_streams(
+            [frame_iters[i] for i in idxs], stacked, key[0], config,
+            backend=backend, scan_backend=scan_backend,
+            chunk_size=chunk_size, timings=group_timings, highest=highest,
+            pipeline_depth=pipeline_depth, devices=dev, prepad=prepad,
+            interpret=interpret, _probe=_probe,
+            inkernel_global=inkernel_global,
+        )
+        return final, outs, group_timings
+
+    if len(group_list) == 1:
+        results = [run_group(0, *group_list[0])]
+    else:
+        with ThreadPoolExecutor(max_workers=len(group_list)) as pool:
+            futures = [
+                pool.submit(run_group, gi, key, idxs)
+                for gi, (key, idxs) in enumerate(group_list)
+            ]
+            results = [f.result() for f in futures]
+
+    finals: list = [None] * n
+    outs_by_stream: list = [None] * n
+    for (_, idxs), (final, outs, gt) in zip(group_list, results):
+        for pos, s in enumerate(idxs):
+            finals[s] = jax.tree.map(lambda a: a[pos], final)
+            outs_by_stream[s] = outs[pos]
+        if timings is not None:
+            timings.extend(gt or [])
+    return finals, outs_by_stream
+
+
 def _serve_streams_mega(
     frame_iters,
     states,
@@ -319,19 +424,14 @@ def _serve_streams_mega(
     import jax
     import jax.numpy as jnp
 
-    from pvot.ops.ncc_mega import (
-        MegaGeometry,
-        O_POISON,
-        mega_track_chunk_multi,
-    )
-    from pvot.tracker.mega import _rows_to_output, _state_from_chunk
+    from pvot.ops.ncc_mega import MegaGeometry, O_POISON
+    from pvot.tracker.mega import _rows_to_output, mega_chunk_step_multi
     from pvot.tracker.scan import _stack_outputs, track_video
 
     h, w = frame_shape
     th, tw = states.template.shape[-2:]
     n_streams = len(frame_iters)
     g = MegaGeometry((h, w), (th, tw), config)
-    extract = jax.jit(jax.vmap(_state_from_chunk))
 
     feeds = [_StreamFeed(it, frame_shape, chunk_size) for it in frame_iters]
     # Staging buffers (see serve_streams's `prepad` doc for the
@@ -353,19 +453,12 @@ def _serve_streams_mega(
         buf = free_bufs.pop()
         for s, (chunk, _) in enumerate(chunks):
             buf[s, :, :h, :w] = chunk
-        rows, tplout = mega_track_chunk_multi(
-            jax.device_put(buf, device),
-            jnp.stack(
-                [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
-            ).astype(jnp.int32),
-            st.template, st.t_mean, st.t_std,
-            st.lost_count, st.use_global,
-            jnp.asarray(n_real),
+        rows, st_after = mega_chunk_step_multi(
+            jax.device_put(buf, device), st, n_real,
             frame_shape=(h, w), templ_shape=(th, tw), config=config,
             interpret=interpret, highest=highest,
             inkernel_global=inkernel_global,
         )
-        st_after = extract(rows, tplout)
         rows.copy_to_host_async()
         return {
             # Retained per-stream frame arrays: a poisoned lane re-runs
@@ -500,25 +593,39 @@ def serve_objects(
     config = config or TrackerConfig()
     h, w = frame_shape
     th, tw = states.template.shape[-2:]
+    # Heterogeneous template sizes (round 4): init_multi_state_bucketed
+    # states — bbox extents differ from the shared template bucket.
+    extents = tuple(
+        (int(eh), int(ew))
+        for eh, ew in zip(np.asarray(states.bbox_h), np.asarray(states.bbox_w))
+    )
+    bucketed = any(e != (th, tw) for e in extents)
+    bucket_extents = extents if bucketed else None
 
     if backend == "mega":
         from pvot.ops.ncc_mega import MegaGeometry
         from pvot.tracker.mega import mega_objects_mode
 
-        g = MegaGeometry((h, w), (th, tw), config)
+        min_t = (
+            (min(e[0] for e in extents), min(e[1] for e in extents))
+            if bucketed else None
+        )
+        g = MegaGeometry((h, w), (th, tw), config, min_templ_shape=min_t)
         mode = None
         if g.supported():
             if _probe or inkernel_global is not None:
                 mode = bool(inkernel_global)
             else:
                 mode = mega_objects_mode(
-                    (h, w), (th, tw), config, interpret=interpret
+                    (h, w), (th, tw), config, interpret=interpret,
+                    bucket_extents=bucket_extents,
                 )
         if mode is not None:
             return _serve_objects_mega(
                 frame_iter, states, frame_shape, config, chunk_size,
                 timings, scan_backend, highest, interpret,
                 max(1, pipeline_depth), prepad, inkernel_global=mode,
+                bucket_extents=bucket_extents,
             )
         backend = scan_backend
 
@@ -526,7 +633,7 @@ def serve_objects(
     # (all lanes share the stream's validity, so the plain per-frame mask
     # suffices).  Chunk fetches overlap one chunk deep, like every sibling
     # driver here: pack on device, fetch async, drain one chunk late.
-    from pvot.parallel.multi import make_multi_step
+    from pvot.parallel.multi import make_multi_step, make_multi_step_bucketed
     from pvot.tracker.scan import (
         _pack_outputs,
         _unpack_outputs,
@@ -535,9 +642,12 @@ def serve_objects(
     from pvot.tracker.state import StepOutput
 
     k_objects = int(np.shape(states.t_mean)[0])
-    step = make_multi_step(
-        (h, w), (th, tw), config, strategy="fused", backend=backend
-    )
+    if bucketed:
+        step = make_multi_step_bucketed((h, w), (th, tw), config)
+    else:
+        step = make_multi_step(
+            (h, w), (th, tw), config, strategy="fused", backend=backend
+        )
     scan_fn = make_masked_scan_fn(step)
     pipe = FramePipeline(frame_iter, frame_shape, chunk_size=chunk_size)
     outs = []
@@ -587,26 +697,29 @@ def _serve_objects_mega(
     depth: int,
     prepad: bool,
     inkernel_global: bool = False,
+    bucket_extents=None,
 ):
     from collections import deque
 
     import jax
     import jax.numpy as jnp
 
-    from pvot.ops.ncc_mega import (
-        MegaGeometry,
-        O_POISON,
-        mega_track_chunk_objects,
-    )
-    from pvot.tracker.mega import _rows_to_output, _state_from_chunk
+    from pvot.ops.ncc_mega import MegaGeometry, O_POISON
+    from pvot.tracker.mega import _rows_to_output, mega_chunk_step_objects
     from pvot.tracker.scan import track_video
     from pvot.tracker.state import StepOutput
 
     h, w = frame_shape
     th, tw = states.template.shape[-2:]
     k_objects = int(np.shape(states.t_mean)[0])
-    g = MegaGeometry((h, w), (th, tw), config)
-    extract = jax.jit(jax.vmap(_state_from_chunk))
+    min_t = (
+        (
+            min(e[0] for e in bucket_extents),
+            min(e[1] for e in bucket_extents),
+        )
+        if bucket_extents is not None else None
+    )
+    g = MegaGeometry((h, w), (th, tw), config, min_templ_shape=min_t)
 
     pipe = FramePipeline(frame_iter, frame_shape, chunk_size=chunk_size)
     stage_shape = (g.pad_h, g.pad_w) if prepad else (h, w)
@@ -622,19 +735,13 @@ def _serve_objects_mega(
     def dispatch(chunk, n_real, st):
         buf = free_bufs.pop()
         buf[:, :h, :w] = chunk
-        rows, tplout = mega_track_chunk_objects(
-            jax.device_put(buf),
-            jnp.stack(
-                [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
-            ).astype(jnp.int32),
-            st.template, st.t_mean, st.t_std,
-            st.lost_count, st.use_global,
-            jnp.full((k_objects,), n_real, jnp.int32),
+        rows, st_after = mega_chunk_step_objects(
+            jax.device_put(buf), st, n_real,
             frame_shape=(h, w), templ_shape=(th, tw), config=config,
             interpret=interpret, highest=highest,
             inkernel_global=inkernel_global,
+            bucket_extents=bucket_extents,
         )
-        st_after = extract(rows, tplout)
         rows.copy_to_host_async()
         return {
             "chunk": chunk,
@@ -664,6 +771,12 @@ def _serve_objects_mega(
             start = jax.tree.map(
                 lambda a, _k=k: np.asarray(a[_k]), entry["snapshot"]
             )
+            if bucket_extents is not None:
+                # Single-object rollback at the object's TRUE geometry:
+                # slice the bucket padding off (stats already normalize
+                # over the true extent); pad back before rejoining.
+                eh, ew = bucket_extents[k]
+                start = start._replace(template=start.template[:eh, :ew])
             for redo in (entry, *inflight):
                 n2 = int(redo["n_real"])
                 redo["done_lanes"].add(k)
@@ -676,6 +789,11 @@ def _serve_objects_mega(
                 )
                 outs[k].append(out)
                 start = jax.tree.map(np.asarray, fs)
+            if bucket_extents is not None:
+                eh, ew = bucket_extents[k]
+                start = start._replace(template=np.pad(
+                    start.template, ((0, th - eh), (0, tw - ew))
+                ))
             fixed[k] = start
         now = time.perf_counter()
         if timings is not None:

@@ -82,13 +82,32 @@ BIG = 2**30
 
 
 class MegaGeometry:
-    """Static shapes shared by the kernel and its driver."""
+    """Static shapes shared by the kernel and its driver.
 
-    def __init__(self, frame_shape, templ_shape, config: TrackerConfig):
+    min_templ_shape (round 4, BUCKETED multi-object mode): when objects
+    carry different template sizes, templ_shape is the shared zero-padded
+    BUCKET (the element-wise max — pvot.parallel.multi
+    .init_multi_state_bucketed) and min_templ_shape the element-wise MIN.
+    All VMEM/slab statics size to the bucket; the out-map statics size to
+    the min template (the LARGEST map any object scores — padding and
+    strip-grid cover), and the kernel clamps/masks per object with TRACED
+    extents read from the state's bbox_w/bbox_h (which by the reference's
+    semantics always equal the template size, main.cpp:451-454)."""
+
+    def __init__(self, frame_shape, templ_shape, config: TrackerConfig,
+                 min_templ_shape=None):
         self.frame_h, self.frame_w = frame_shape
         self.th, self.tw = templ_shape
-        self.out_h = self.frame_h - self.th + 1
-        self.out_w = self.frame_w - self.tw + 1
+        self.min_th, self.min_tw = min_templ_shape or templ_shape
+        if self.min_th > self.th or self.min_tw > self.tw:
+            raise ValueError("min_templ_shape must fit in templ_shape")
+        self.bucketed = (self.min_th, self.min_tw) != (self.th, self.tw)
+        # Largest map extents (smallest template); the bucket's own map
+        # extents (out_*_b) are the binding supported() constraint.
+        self.out_h = self.frame_h - self.min_th + 1
+        self.out_w = self.frame_w - self.min_tw + 1
+        self.out_h_b = self.frame_h - self.th + 1
+        self.out_w_b = self.frame_w - self.tw + 1
         self.span_x = 2 * config.search_radius_x + 1
         self.span_y = 2 * config.search_radius_y + 1
         self.k_blocks = -(-self.th // 8)
@@ -138,8 +157,8 @@ class MegaGeometry:
             and self.ty <= 512
             and self.th <= 128
             and self.tw <= TX
-            and self.out_h >= self.span_y
-            and self.out_w >= self.span_x
+            and self.out_h_b >= self.span_y
+            and self.out_w_b >= self.span_x
         )
 
 
@@ -270,7 +289,7 @@ def _mega_kernel(
 
 def _shear_score_tiles(
     slab, box_ref, tpl_ref, t_mean, t_std_in, sum_tc,
-    *, g, highest, score_passes,
+    *, g, highest, score_passes, tw_e=None, th_e=None, n_e=None,
 ):
     """Per-tile shear NCC score maps [(ty, TX)] * g.nx from a converted,
     origin-rolled f32 slab — the round-3 score pass factored out so the
@@ -282,7 +301,14 @@ def _shear_score_tiles(
     tests/test_mega.py global-parity tests and the per-geometry probe)."""
     th, tw, ty = g.th, g.tw, g.ty
     tile_lanes, m_lanes = g.tile_lanes, g.m_lanes
-    n = float(th * tw)
+    # Bucketed mode (round 4): tw_e/th_e/n_e are the object's TRACED true
+    # extents; the template is zero-padded to the (th, tw) bucket, so the
+    # correlation rows beyond th_e contribute zero via the traced valid8
+    # mask, and the box sums gate each bucket row on row_ok below.  In
+    # homogeneous mode they are the static extents and every mask/gate
+    # constant-folds to the round-3 kernel.
+    if tw_e is None:
+        tw_e, th_e, n_e = tw, th, float(th * tw)
     row8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 0)
     col8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 1)
 
@@ -325,7 +351,7 @@ def _shear_score_tiles(
                 axis=0,
             )
         wsq = w * w
-        valid8 = ((8 * k + row8) < th) & (col8 < tw)
+        valid8 = ((8 * k + row8) < th_e) & (col8 < tw_e)
         t8 = jnp.where(valid8, tpl_ref[pl.ds(8 * k, 8), :] - t_mean, 0.0)
         if not highest:
             # Fast tier: 3-pass bf16 hi/lo decomposition of the shear
@@ -374,21 +400,36 @@ def _shear_score_tiles(
                     t1p = d1(wh, tth) + d1(wh, ttl)
                 else:
                     t1p = d1(wh, tth) + d1(wh, ttl) + d1(wl, tth)
+            if isinstance(th_e, int):
+                row_ok = None
+            else:
+                # Bucketed: window rows beyond the object's true template
+                # height must not enter its box sums (the correlation acc
+                # is already zero there via t8's traced mask).
+                row_ok = (8 * k + p) < th_e
             for xt in range(g.nx):
                 o = xt * nseg + p
                 acc_l[xt] = acc_l[xt] + t1p[o : o + ty, :]
-                bsum_l[xt] = bsum_l[xt] + w[o : o + ty, :]
-                bsq_l[xt] = bsq_l[xt] + wsq[o : o + ty, :]
+                if row_ok is None:
+                    bsum_l[xt] = bsum_l[xt] + w[o : o + ty, :]
+                    bsq_l[xt] = bsq_l[xt] + wsq[o : o + ty, :]
+                else:
+                    bsum_l[xt] = bsum_l[xt] + jnp.where(
+                        row_ok, w[o : o + ty, :], 0.0
+                    )
+                    bsq_l[xt] = bsq_l[xt] + jnp.where(
+                        row_ok, wsq[o : o + ty, :], 0.0
+                    )
 
     s_l = []
     for xt in range(g.nx):  # per-tile normalization
         acc_sum = dot_f32(bsum_l[xt], box_ref[:, :])
         acc_ssq = dot_f32(bsq_l[xt], box_ref[:, :])
-        mean = acc_sum / n
-        var = acc_ssq / n - mean * mean
+        mean = acc_sum / n_e
+        var = acc_ssq / n_e - mean * mean
         std = jnp.sqrt(jnp.maximum(var, 1e-6))
         cov = acc_l[xt] - mean * sum_tc
-        s_l.append(cov / ((std + 1e-6) * (t_std_in + 1e-6) * n))
+        s_l.append(cov / ((std + 1e-6) * (t_std_in + 1e-6) * n_e))
     return s_l
 
 
@@ -424,10 +465,24 @@ def _scored_frame_body(
     (main.cpp:449), use_global reset, used_global reporting."""
     th, tw, ty = g.th, g.tw, g.ty
     m_lanes = g.m_lanes
-    n = float(th * tw)
     lr = float(config.template_update_lr)
-    half_w, half_h = tw // 2, th // 2
     rx, ry = int(config.search_radius_x), int(config.search_radius_y)
+    # Effective (per-object) extents: TRACED in bucketed mode — the bbox
+    # width/height ARE the template extents by the reference's semantics
+    # (main.cpp:451-454; init_multi_state_bucketed docstring) — and the
+    # static bucket extents otherwise, where every expression below
+    # constant-folds to the round-3 kernel.
+    if g.bucketed:
+        tw_e, th_e = bw, bh
+        n = (tw_e * th_e).astype(jnp.float32)
+        out_w_e = g.frame_w - tw_e + 1
+        out_h_e = g.frame_h - th_e + 1
+    else:
+        tw_e, th_e = tw, th
+        n = float(th * tw)
+        out_w_e, out_h_e = g.out_w, g.out_h
+    half_w = tw_e >> 1
+    half_h = th_e >> 1
 
     # --- Mode selection (pvot.tracker.step / main.cpp:399-413); >> 1
     # replaces // 2 (non-negative here; Mosaic rejects in-kernel division,
@@ -448,9 +503,9 @@ def _scored_frame_body(
     else:
         use_global = jnp.bool_(False)
     min_tx = jnp.maximum(0, cx - rx - half_w)
-    max_tx = jnp.minimum(g.out_w - 1, cx + rx - half_w)
+    max_tx = jnp.minimum(out_w_e - 1, cx + rx - half_w)
     min_ty = jnp.maximum(0, cy - ry - half_h)
-    max_ty = jnp.minimum(g.out_h - 1, cy + ry - half_h)
+    max_ty = jnp.minimum(out_h_e - 1, cy + ry - half_h)
     window_valid = (max_tx >= min_tx) & (max_ty >= min_ty)
     global_argmax = use_global | ~window_valid
 
@@ -469,8 +524,8 @@ def _scored_frame_body(
     t_mean, t_std_in, sum_tc = sf_ref[0], sf_ref[1], sf_ref[2]
     dy_iota = lax.broadcasted_iota(jnp.int32, (ty, TX), 0)
     dxl_iota = lax.broadcasted_iota(jnp.int32, (ty, TX), 1)
-    x0 = jnp.minimum(min_tx, g.out_w - g.span_x)
-    y0 = jnp.minimum(min_ty, g.out_h - g.span_y)
+    x0 = jnp.minimum(min_tx, out_w_e - g.span_x)
+    y0 = jnp.minimum(min_ty, out_h_e - g.span_y)
 
     def fetch_slab(y0_, x0_):
         """Aligned slab DMA + on-chip u8->f32 + residual rolls so slab
@@ -519,16 +574,17 @@ def _scored_frame_body(
         @pl.when(do_global)
         def _():
             def strip(sy, sx):
-                y0s = jnp.minimum(sy * ty, g.out_h - g.span_y)
-                x0s = jnp.minimum(sx * g.stride_gx, g.out_w - g.span_x)
+                y0s = jnp.minimum(sy * ty, out_h_e - g.span_y)
+                x0s = jnp.minimum(sx * g.stride_gx, out_w_e - g.span_x)
                 s_l = _shear_score_tiles(
                     fetch_slab(y0s, x0s), box_ref, tpl_ref,
                     t_mean, t_std_in, sum_tc,
                     g=g, highest=highest, score_passes=score_passes,
+                    tw_e=tw_e, th_e=th_e, n_e=n,
                 )
                 for xt in range(g.nx):
                     dxg = xt * TX + dxl_iota
-                    mask = (dy_iota < g.out_h - y0s) & (dxg < g.out_w - x0s)
+                    mask = (dy_iota < out_h_e - y0s) & (dxg < out_w_e - x0s)
                     masked = jnp.where(mask, s_l[xt], -jnp.inf)
                     val_t = jnp.max(masked)
                     is_best = masked == val_t
@@ -557,8 +613,8 @@ def _scored_frame_body(
         # Effective main-slab origin: the global winner's clamped patch
         # window (so the EMA patch extraction below reads this slab), the
         # local window otherwise.
-        x0 = jnp.where(do_global, jnp.minimum(g_ax, g.out_w - g.span_x), x0)
-        y0 = jnp.where(do_global, jnp.minimum(g_ay, g.out_h - g.span_y), y0)
+        x0 = jnp.where(do_global, jnp.minimum(g_ax, out_w_e - g.span_x), x0)
+        y0 = jnp.where(do_global, jnp.minimum(g_ay, out_h_e - g.span_y), y0)
 
     # --- Main slab + local-window NCC scores (on global frames the window
     # argmax below is garbage and overridden; running it anyway is the
@@ -567,6 +623,7 @@ def _scored_frame_body(
     s_l = _shear_score_tiles(
         slab, box_ref, tpl_ref, t_mean, t_std_in, sum_tc,
         g=g, highest=highest, score_passes=score_passes,
+        tw_e=tw_e, th_e=th_e, n_e=n,
     )
     best_val = jnp.float32(0.0)
     bdy = jnp.int32(0)
@@ -623,8 +680,8 @@ def _scored_frame_body(
     accept = commit & (best_val >= threshold)
     new_bx = jnp.where(accept, best_x, bx)
     new_by = jnp.where(accept, best_y, by)
-    new_bw = jnp.where(accept, tw, bw)
-    new_bh = jnp.where(accept, th, bh)
+    new_bw = jnp.where(accept, tw_e, bw)
+    new_bh = jnp.where(accept, th_e, bh)
     new_lost = jnp.where(
         accept, 0, jnp.where(commit, lost + 1, lost)
     )
@@ -663,7 +720,7 @@ def _scored_frame_body(
     patch_full = pltpu.roll(patch_rows, g.slab_w - bdx, 1)
     rowm = lax.broadcasted_iota(jnp.int32, (g.rows8, m_lanes), 0)
     colm = lax.broadcasted_iota(jnp.int32, (g.rows8, m_lanes), 1)
-    tvalid = (rowm < th) & (colm < tw)
+    tvalid = (rowm < th_e) & (colm < tw_e)
     patch = jnp.where(tvalid, patch_full[: g.rows8, :m_lanes], 0.0)
     tpl_old = tpl_ref[:, :]
     tpl_new = (1.0 - lr) * tpl_old + lr * patch
@@ -980,7 +1037,7 @@ def mega_track_chunk_multi(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
-        "score_passes", "batch", "inkernel_global",
+        "score_passes", "batch", "inkernel_global", "bucket_extents",
     ),
 )
 def mega_track_chunk_objects(
@@ -1000,6 +1057,7 @@ def mega_track_chunk_objects(
     score_passes: int = 3,
     batch: int = 1,
     inkernel_global: bool = False,
+    bucket_extents: Tuple[Tuple[int, int], ...] = None,
 ):
     """K independent trackers over ONE shared clip in ONE pallas_call —
     the MULTI-OBJECT mega path (the reference's never-implemented 150%
@@ -1012,8 +1070,22 @@ def mega_track_chunk_objects(
     score-map/im2col traffic and no per-frame scan glue.
 
     Returns (rows (K, F, TX), final templates (K, th, tw)); poison
-    semantics per object (pvot.tracker.mega.track_objects_mega)."""
-    g = MegaGeometry(frame_shape, templ_shape, config)
+    semantics per object (pvot.tracker.mega.track_objects_mega).
+
+    bucket_extents (round 4, HETEROGENEOUS templates): the K per-object
+    TRUE (th, tw) extents when templ_shape is a shared zero-padded BUCKET
+    (pvot.parallel.multi.init_multi_state_bucketed layout).  The kernel
+    then masks/clamps per object with traced extents (MegaGeometry
+    docstring), and each object gets its OWN box-sum Toeplitz block built
+    for its true template width."""
+    if bucket_extents is not None:
+        min_t = (
+            min(e[0] for e in bucket_extents),
+            min(e[1] for e in bucket_extents),
+        )
+        g = MegaGeometry(frame_shape, templ_shape, config, min_t)
+    else:
+        g = MegaGeometry(frame_shape, templ_shape, config)
     f = frames_u8.shape[0]
     k_objects = template.shape[0]
     if frames_u8.shape[1:] == (g.pad_h, g.pad_w):
@@ -1031,9 +1103,20 @@ def mega_track_chunk_objects(
         template.astype(jnp.float32),
         ((0, 0), (0, g.rows8 - g.th), (0, g.m_lanes - g.tw)),
     ).reshape(k_objects * g.rows8, g.m_lanes)
-    t_centered_sum = jnp.sum(
-        template.astype(jnp.float32) - t_mean[:, None, None], axis=(1, 2)
-    )
+    if bucket_extents is None:
+        t_centered_sum = jnp.sum(
+            template.astype(jnp.float32) - t_mean[:, None, None], axis=(1, 2)
+        )
+    else:
+        # Bucket padding is zero, so sum over the true extent =
+        # sum(bucketed template) - n_k * mean (n_k = true pixel count).
+        n_k = jnp.asarray(
+            [th_k * tw_k for th_k, tw_k in bucket_extents], jnp.float32
+        )
+        t_centered_sum = (
+            jnp.sum(template.astype(jnp.float32), axis=(1, 2))
+            - n_k * t_mean.astype(jnp.float32)
+        )
     zeros = jnp.zeros((k_objects,), jnp.float32)
     sf0 = jnp.stack(
         [
@@ -1055,7 +1138,22 @@ def mega_track_chunk_objects(
         ],
         axis=-1,
     )  # (K, 8)
-    box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
+    if bucket_extents is None:
+        box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
+        box_spec = pl.BlockSpec(
+            (g.tile_lanes, TX), lambda k, t: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        import numpy as _np
+
+        box = jnp.asarray(_np.concatenate(
+            [_box_operator(g.tile_lanes, tw_k) for _, tw_k in bucket_extents]
+        ))  # (K * tile_lanes, TX): per-object box-sum Toeplitz blocks
+        box_spec = pl.BlockSpec(
+            (g.tile_lanes, TX), lambda k, t: (k, 0),
+            memory_space=pltpu.VMEM,
+        )
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
         score_passes=score_passes, multi=True, shared_frames=True,
@@ -1077,10 +1175,7 @@ def mega_track_chunk_objects(
                 (g.rows8, g.m_lanes), lambda k, t: (k, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (g.tile_lanes, TX), lambda k, t: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            box_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],

@@ -218,13 +218,30 @@ def track_video_multi(
     chunk_size: int = 32,
 ) -> Tuple[TrackerState, StepOutput]:
     """Track K objects through a gray video (F, H, W); outputs get a leading
-    (F, K) layout."""
+    (F, K) layout.
+
+    Heterogeneous template sizes (init_multi_state_bucketed states —
+    detected by bbox extents differing from the shared template bucket)
+    route through the bucketed traced-extent step; `strategy`/`backend`
+    are then ignored (the bucketed NCC is its own matmul formulation,
+    pvot.ops.ncc_matmul.ncc_scores_bucketed)."""
     from pvot.tracker.scan import _stack_outputs, make_masked_scan_fn
 
     frames = np.asarray(frames)
     f, h, w = frames.shape
     th, tw = states.template.shape[-2:]
-    multi_step = make_multi_step((h, w), (th, tw), config, strategy, backend)
+    bucketed = any(
+        (int(eh), int(ew)) != (th, tw)
+        for eh, ew in zip(
+            np.asarray(states.bbox_h), np.asarray(states.bbox_w)
+        )
+    )
+    if bucketed:
+        multi_step = make_multi_step_bucketed((h, w), (th, tw), config)
+    else:
+        multi_step = make_multi_step(
+            (h, w), (th, tw), config, strategy, backend
+        )
     scan_fn = make_masked_scan_fn(multi_step)
     outs = []
     for start in range(0, f, chunk_size):

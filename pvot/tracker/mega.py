@@ -29,6 +29,7 @@ re-run of the chunks after it.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -82,6 +83,147 @@ def _state_from_chunk(rows: jax.Array, tplout: jax.Array) -> TrackerState:
     )
 
 
+_CHUNK_STATICS = (
+    "frame_shape", "templ_shape", "config", "interpret", "highest",
+    "score_passes", "batch", "inkernel_global",
+)
+
+
+@functools.partial(jax.jit, static_argnames=_CHUNK_STATICS)
+def mega_chunk_step(
+    chunk: jax.Array,
+    state: TrackerState,
+    n_valid,
+    *,
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+    highest: bool = True,
+    score_passes: int = 3,
+    batch: int = 1,
+    inkernel_global: bool = False,
+):
+    """ONE dispatch per chunk: bbox stack + mega kernel + chunk-final state
+    extraction fused into a single jitted program.  On the relay every
+    eager helper op (the bbox jnp.stack, each _state_from_chunk astype,
+    template_stats) is its own dispatch round trip — the unfused loop paid
+    ~10 of them per chunk, measured as the occl_clean_720p mega row
+    landing 6x BELOW the scan engine on the same staged clip
+    (benchmarks/suite.py::bench_occlusion, round 4)."""
+    rows, tplout = mega_track_chunk(
+        chunk,
+        jnp.stack(
+            [state.bbox_x, state.bbox_y, state.bbox_w, state.bbox_h]
+        ).astype(jnp.int32),
+        state.template, state.t_mean, state.t_std, state.lost_count,
+        state.use_global, jnp.asarray(n_valid, jnp.int32),
+        frame_shape=frame_shape, templ_shape=templ_shape, config=config,
+        interpret=interpret, highest=highest, score_passes=score_passes,
+        batch=batch, inkernel_global=inkernel_global,
+    )
+    return rows, _state_from_chunk(rows, tplout)
+
+
+@functools.partial(jax.jit, static_argnames=_CHUNK_STATICS)
+def mega_chunk_step_multi(
+    chunk: jax.Array,
+    states: TrackerState,
+    n_valid,
+    *,
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+    highest: bool = True,
+    score_passes: int = 3,
+    batch: int = 1,
+    inkernel_global: bool = False,
+):
+    """mega_chunk_step for the multi-stream kernel: (S, C, H, W) chunk +
+    stacked states; n_valid is per-stream (S,) or a scalar (broadcast)."""
+    s = np.shape(states.t_mean)[0]
+    rows, tplout = mega_track_chunk_multi(
+        chunk,
+        jnp.stack(
+            [states.bbox_x, states.bbox_y, states.bbox_w, states.bbox_h],
+            axis=-1,
+        ).astype(jnp.int32),
+        states.template, states.t_mean, states.t_std, states.lost_count,
+        states.use_global,
+        jnp.broadcast_to(jnp.asarray(n_valid, jnp.int32), (s,)),
+        frame_shape=frame_shape, templ_shape=templ_shape, config=config,
+        interpret=interpret, highest=highest, score_passes=score_passes,
+        batch=batch, inkernel_global=inkernel_global,
+    )
+    return rows, jax.vmap(_state_from_chunk)(rows, tplout)
+
+
+def _state_from_chunk_bucketed(rows: jax.Array, tplout: jax.Array):
+    """_state_from_chunk for BUCKETED (mixed-size) templates: the stats
+    recompute normalizes over the object's true pixel count (bbox_w/h ==
+    template extents, the init_multi_state_bucketed invariant)."""
+    from pvot.ops.ncc_matmul import template_stats_bucketed
+
+    last = rows[-1]
+    bw = last[O_BX + 2].astype(jnp.int32)
+    bh = last[O_BX + 3].astype(jnp.int32)
+    t_mean, t_std = template_stats_bucketed(tplout, bw * bh)
+    return TrackerState(
+        bbox_x=last[O_BX + 0].astype(jnp.int32),
+        bbox_y=last[O_BX + 1].astype(jnp.int32),
+        bbox_w=bw,
+        bbox_h=bh,
+        template=tplout,
+        t_mean=t_mean,
+        t_std=t_std,
+        lost_count=last[O_LOST].astype(jnp.int32),
+        use_global=last[O_USEG] != 0.0,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=_CHUNK_STATICS + ("bucket_extents",)
+)
+def mega_chunk_step_objects(
+    chunk: jax.Array,
+    states: TrackerState,
+    n_valid,
+    *,
+    frame_shape: Tuple[int, int],
+    templ_shape: Tuple[int, int],
+    config: TrackerConfig,
+    interpret: bool = False,
+    highest: bool = True,
+    score_passes: int = 3,
+    batch: int = 1,
+    inkernel_global: bool = False,
+    bucket_extents=None,
+):
+    """mega_chunk_step for the multi-object kernel: one shared (C, H, W)
+    chunk, K stacked tracker states.  bucket_extents: per-object true
+    (th, tw) when templates are bucket-padded (mixed sizes)."""
+    k = np.shape(states.t_mean)[0]
+    rows, tplout = mega_track_chunk_objects(
+        chunk,
+        jnp.stack(
+            [states.bbox_x, states.bbox_y, states.bbox_w, states.bbox_h],
+            axis=-1,
+        ).astype(jnp.int32),
+        states.template, states.t_mean, states.t_std, states.lost_count,
+        states.use_global,
+        jnp.broadcast_to(jnp.asarray(n_valid, jnp.int32), (k,)),
+        frame_shape=frame_shape, templ_shape=templ_shape, config=config,
+        interpret=interpret, highest=highest, score_passes=score_passes,
+        inkernel_global=inkernel_global, bucket_extents=bucket_extents,
+    )
+    extract = (
+        _state_from_chunk if bucket_extents is None
+        else _state_from_chunk_bucketed
+    )
+    return rows, jax.vmap(extract)(rows, tplout)
+
+
 def _rows_to_output(rows: np.ndarray) -> StepOutput:
     """Host-side per-frame records -> StepOutput.  used_global comes from
     the kernel's O_GUSED lane: the in-kernel global-search mode (round 4)
@@ -122,12 +264,17 @@ def _global_probe_clip(
     return init_state(templ, (-(tw // 2) - 2, y, tw, th))
 
 
-def _outputs_equal(want: StepOutput, got: StepOutput) -> bool:
+def _outputs_equal(
+    want: StepOutput, got: StepOutput, acc_atol: float = 1e-5
+) -> bool:
     """Probe equality contract: bboxes and flags bit-equal; ACCEPTED
-    frames' scores within 1e-5 (a genuine match's score is numerically
-    stable across engines); REJECTED frames' within 2e-3 — a rejected
-    score is the max over noise / near-flat positions (the full map on
-    global frames, the window otherwise), where eps-dominated
+    frames' scores within acc_atol (a genuine match's score is numerically
+    stable across engines; 1e-5 default — BUCKETED probes pass 5e-5: the
+    traced-extent box sums gate each bucket row through a select, a
+    different f32 accumulation order than the exact-shape oracle, measured
+    1.3e-5 on the mixed-size probe clips); REJECTED frames' within 2e-3 —
+    a rejected score is the max over noise / near-flat positions (the full
+    map on global frames, the window otherwise), where eps-dominated
     low-variance positions amplify cross-engine per-position differences
     into the max (measured up to ~6e-4 full-map / ~3e-5 windowed vs the
     matmul oracle on the in-kernel-global test clips)."""
@@ -139,7 +286,8 @@ def _outputs_equal(want: StepOutput, got: StepOutput) -> bool:
         return False
     acc = np.asarray(want.updated)
     return np.allclose(
-        np.asarray(want.score)[acc], np.asarray(got.score)[acc], atol=1e-5
+        np.asarray(want.score)[acc], np.asarray(got.score)[acc],
+        atol=acc_atol,
     ) and np.allclose(want.score, got.score, atol=2e-3)
 
 
@@ -277,11 +425,13 @@ def mega_objects_mode(
     templ_shape: Tuple[int, int],
     config: TrackerConfig,
     interpret: bool = False,
+    bucket_extents=None,
 ):
-    """mega_mode for the multi-object kernel (pvot.io.serving)."""
+    """mega_mode for the multi-object kernel (pvot.io.serving).
+    bucket_extents: per-object true (th, tw) for mixed-size templates."""
     return _resolve_mode(
         config, mega_objects_supported, frame_shape, templ_shape, config,
-        interpret=interpret,
+        interpret=interpret, bucket_extents=bucket_extents,
     )
 
 
@@ -403,17 +553,8 @@ def track_video_mega(
             if n_real < cs:
                 chunk = pad_tail(chunk, cs - n_real)
             snapshots.append(st)
-            rows, tplout = mega_track_chunk(
-                jax.device_put(chunk),
-                jnp.stack(
-                    [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h]
-                ).astype(jnp.int32),
-                st.template,
-                st.t_mean,
-                st.t_std,
-                st.lost_count,
-                st.use_global,
-                jnp.int32(n_real),
+            rows, st = mega_chunk_step(
+                jax.device_put(chunk), st, n_real,
                 frame_shape=(h, w),
                 templ_shape=(th, tw),
                 config=config,
@@ -421,7 +562,6 @@ def track_video_mega(
                 batch=batch,
                 inkernel_global=ikg,
             )
-            st = _state_from_chunk(rows, tplout)
             pend.append((j, rows, n_real))
         packed = jnp.concatenate([r for _, r, _ in pend], axis=0)
         packed.copy_to_host_async()
@@ -635,7 +775,6 @@ def track_streams_mega(
     if batch > 1:  # chunk boundaries must sit on batch boundaries
         cs = max(batch, (cs // batch) * batch)
     num_chunks = -(-f // cs)
-    extract = jax.jit(jax.vmap(_state_from_chunk))
 
     # Optimistic pass: enqueue every chunk for every stream, ONE packed
     # fetch of all records.  Snapshots (device-held, tiny) let poisoned
@@ -649,17 +788,8 @@ def track_streams_mega(
         if n_real < cs:
             chunk = pad_tail(chunk, cs - n_real, axis=1)
         snapshots.append(st)
-        rows, tplout = mega_track_chunk_multi(
-            jax.device_put(chunk),
-            jnp.stack(
-                [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
-            ).astype(jnp.int32),
-            st.template,
-            st.t_mean,
-            st.t_std,
-            st.lost_count,
-            st.use_global,
-            jnp.full((s_streams,), n_real, jnp.int32),
+        rows, st = mega_chunk_step_multi(
+            jax.device_put(chunk), st, n_real,
             frame_shape=(h, w),
             templ_shape=(th, tw),
             config=config,
@@ -667,7 +797,6 @@ def track_streams_mega(
             batch=batch,
             inkernel_global=ikg,
         )
-        st = extract(rows, tplout)
         rows_chunks.append(rows)
     packed = jnp.concatenate(rows_chunks, axis=1)  # (S, num_chunks*cs, TX)
     packed.copy_to_host_async()
@@ -716,20 +845,31 @@ def mega_objects_supported(
     config: TrackerConfig,
     interpret: bool = False,
     inkernel_global: bool = False,
+    bucket_extents=None,
 ) -> bool:
     """Compile + numerics probe for the MULTI-OBJECT mega kernel (shared
     frames, (k, 0)-indexed state blocks) at the served geometry, against
     per-object single-tracker runs of the same clip.  inkernel_global=True
     starts object 0 with its bbox center outside the frame so it loses and
     re-acquires on-chip while object 1 tracks locally through the SAME
-    frames (the pasted patch is shared — both objects see it)."""
+    frames (the pasted patch is shared — both objects see it).
+    bucket_extents: the served per-object true extents for the BUCKETED
+    (mixed-size) kernel — the probe runs the exact extent set (each set
+    is its own compiled program: per-object box blocks + traced masks)."""
     key = (
         "objects", jax.default_backend(), frame_shape, templ_shape, config,
-        interpret, inkernel_global,
+        interpret, inkernel_global, bucket_extents,
     )
     if key not in _SUPPORT_CACHE:
         try:
-            g = MegaGeometry(frame_shape, templ_shape, config)
+            if bucket_extents is not None:
+                min_t = (
+                    min(e[0] for e in bucket_extents),
+                    min(e[1] for e in bucket_extents),
+                )
+                g = MegaGeometry(frame_shape, templ_shape, config, min_t)
+            else:
+                g = MegaGeometry(frame_shape, templ_shape, config)
             if not g.supported():
                 raise ValueError("geometry outside mega envelope")
             rng = np.random.default_rng(13)
@@ -740,24 +880,45 @@ def mega_objects_supported(
             from pvot.io.gray import gray_u8_to_f32
             from pvot.tracker.state import init_state
 
+            k_probe = (
+                2 if bucket_extents is None else len(bucket_extents)
+            )
+            probe_extents = (
+                ((th, tw),) * k_probe
+                if bucket_extents is None else tuple(bucket_extents)
+            )
             states = []
-            for k in range(2):
+            for k in range(k_probe):
+                eh, ew = probe_extents[k]
                 if inkernel_global and k == 0:
-                    states.append(_global_probe_clip(frames, (th, tw)))
+                    states.append(_global_probe_clip(frames, (eh, ew)))
                     continue
-                x = (w - tw) // 2 + 3 * k
-                y = (h - th) // 2 - 2 * k
+                x = (w - ew) // 2 + 3 * k
+                y = (h - eh) // 2 - 2 * k
                 templ = jnp.asarray(
-                    gray_u8_to_f32(frames[0])[y : y + th, x : x + tw]
+                    gray_u8_to_f32(frames[0])[y : y + eh, x : x + ew]
                 )
-                states.append(init_state(templ, (x, y, tw, th)))
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+                states.append(init_state(templ, (x, y, ew, eh)))
+            if bucket_extents is None:
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+            else:
+                from pvot.parallel.multi import init_multi_state_bucketed
+
+                stacked = init_multi_state_bucketed(
+                    [np.asarray(s.template) for s in states],
+                    [
+                        (int(s.bbox_x), int(s.bbox_y),
+                         int(s.bbox_w), int(s.bbox_h))
+                        for s in states
+                    ],
+                    bucket=(th, tw),
+                )
             _, got = track_objects_mega(
                 frames[1:], stacked, config, chunk_size=4,
                 interpret=interpret, _probe=True,
                 inkernel_global=inkernel_global,
             )
-            for k in range(2):
+            for k in range(k_probe):
                 _, want = track_video(
                     frames[1:], states[k], config, strategy="fused",
                     backend="pallas_shear", chunk_size=4,
@@ -767,7 +928,10 @@ def mega_objects_supported(
                     used_global=got.used_global[:, k],
                     updated=got.updated[:, k],
                 )
-                if not _outputs_equal(want, got_k):
+                if not _outputs_equal(
+                    want, got_k,
+                    acc_atol=1e-5 if bucket_extents is None else 5e-5,
+                ):
                     raise ValueError(
                         f"mega objects probe mismatch (object {k}): "
                         f"{got.bbox[:, k].tolist()} vs {want.bbox.tolist()}"
@@ -821,7 +985,22 @@ def track_objects_mega(
     f, h, w = frames.shape
     k_objects = int(np.shape(states.t_mean)[0])
     th, tw = states.template.shape[-2:]
-    g = MegaGeometry((h, w), (th, tw), config)
+    # Heterogeneous template sizes (round 4): bbox extents != the shared
+    # template bucket means init_multi_state_bucketed states — the kernel
+    # runs with per-object traced extents + per-object box blocks.
+    extents = tuple(
+        (int(eh), int(ew))
+        for eh, ew in zip(np.asarray(states.bbox_h), np.asarray(states.bbox_w))
+    )
+    bucketed = any(e != (th, tw) for e in extents)
+    bucket_extents = extents if bucketed else None
+    g = MegaGeometry(
+        (h, w), (th, tw), config,
+        min_templ_shape=(
+            (min(e[0] for e in extents), min(e[1] for e in extents))
+            if bucketed else None
+        ),
+    )
 
     def multi_fallback():
         from pvot.parallel.multi import track_video_multi
@@ -838,17 +1017,17 @@ def track_objects_mega(
         if ikg is None:
             ikg = config.enable_global_search and mega_objects_supported(
                 (h, w), (th, tw), config, interpret=interpret,
-                inkernel_global=True,
+                inkernel_global=True, bucket_extents=bucket_extents,
             )
         if not ikg and not mega_objects_supported(
-            (h, w), (th, tw), config, interpret=interpret
+            (h, w), (th, tw), config, interpret=interpret,
+            bucket_extents=bucket_extents,
         ):
             return multi_fallback()
     ikg = bool(ikg)
 
     cs = min(chunk_size, f)
     num_chunks = -(-f // cs)
-    extract = jax.jit(jax.vmap(_state_from_chunk))
 
     # Optimistic pass: enqueue every chunk, ONE packed record fetch;
     # poisoned objects roll back from their chunk-start snapshots.
@@ -861,24 +1040,15 @@ def track_objects_mega(
         if n_real < cs:
             chunk = pad_tail(chunk, cs - n_real)
         snapshots.append(st)
-        rows, tplout = mega_track_chunk_objects(
-            jax.device_put(chunk),
-            jnp.stack(
-                [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
-            ).astype(jnp.int32),
-            st.template,
-            st.t_mean,
-            st.t_std,
-            st.lost_count,
-            st.use_global,
-            jnp.full((k_objects,), n_real, jnp.int32),
+        rows, st = mega_chunk_step_objects(
+            jax.device_put(chunk), st, n_real,
             frame_shape=(h, w),
             templ_shape=(th, tw),
             config=config,
             interpret=interpret,
             inkernel_global=ikg,
+            bucket_extents=bucket_extents,
         )
-        st = extract(rows, tplout)
         rows_chunks.append(rows)
     packed = jnp.concatenate(rows_chunks, axis=1)  # (K, num_chunks*cs, TX)
     packed.copy_to_host_async()
@@ -902,11 +1072,23 @@ def track_objects_mega(
             snap = jax.tree.map(
                 lambda a, _k=k: a[_k], snapshots[poisoned_at]
             )
+            if bucketed:
+                # Single-object rollback runs at the object's TRUE
+                # geometry: slice the bucket padding off the template
+                # (stats already normalize over the true extent).
+                eh, ew = extents[k]
+                snap = snap._replace(template=snap.template[:eh, :ew])
             fs, out = track_video_mega(
                 frames[poisoned_at * cs :], snap, config, chunk_size=cs,
                 scan_backend=scan_backend, interpret=interpret,
                 inkernel_global=ikg if _probe else None,
             )
+            if bucketed:
+                # Back to the bucket layout for the stacked final state.
+                fs = fs._replace(template=jnp.pad(
+                    fs.template,
+                    ((0, th - extents[k][0]), (0, tw - extents[k][1])),
+                ))
             final_states[k] = fs
             chunks_out.append(out)
         object_outs[k] = StepOutput(
