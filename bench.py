@@ -72,6 +72,14 @@ def run_bench(
     #     ground-truth check below is the guard; all reference-parity
     #     tracking modes keep HIGHEST).
     mega_highest: bool = False,
+    # Fast-tier MXU pass count (round-4 on-chip A/B, tools/mega_fast_ab.py
+    # /tmp/mfab_r4.log, 2048 frames in-process, all 0 px and trajectory
+    # BIT-EQUAL to the HIGHEST kernel on this clip: HIGHEST 46.8 us/frame,
+    # 3-pass 38.7, 2-pass 32.5 — the 2-pass tier drops the wl@tth term,
+    # whose operand carries only the u8/255 quantization residue).  Like
+    # every fast engine, trajectory identity is a measured per-clip
+    # property; THIS run's ground-truth check below is the guard.
+    mega_score_passes: int = 2,
     # Timed passes over the staged clip.  Staging is HBM-bound (~2 GB of
     # pre-padded 720p uint8 at 2048 frames — the relay chip's safe limit),
     # so the run's fixed dispatch+fetch cost is amortized by re-tracking
@@ -137,6 +145,7 @@ def run_bench(
             run_once, finish = _make_mega_runner(
                 chunks, state, (height, width), (h, w), chunk_size, config,
                 highest=mega_highest, passes=passes,
+                score_passes=mega_score_passes,
             )
             _ = run_once(fetch=False)  # compile (enqueue only)
         except Exception as e:  # Mosaic regression: fall back to the scan
@@ -194,7 +203,10 @@ def run_bench(
         "all_updated": bool(np.asarray(updated).all()),
         "backend": backend,
         **(
-            {"tier": "highest" if mega_highest else "fast_3pass_bf16_hilo",
+            {"tier": (
+                "highest" if mega_highest
+                else f"fast_{mega_score_passes}pass_bf16_hilo"
+             ),
              "staging": "host_prepadded"}
             if backend == "mega" else {}
         ),
@@ -247,7 +259,7 @@ def _make_scan_runner(chunks, state, frame_shape, templ_shape, chunk_size,
 
 
 def _make_mega_runner(chunks, state, frame_shape, templ_shape, chunk_size,
-                      config, highest=True, passes=1):
+                      config, highest=True, passes=1, score_passes=3):
     """The mega path: each chunk is ONE pallas_call (pvot.ops.ncc_mega);
     between chunks only the tiny state-extract program runs.  A poisoned
     chunk (global-search frame) would make the ground-truth check fail
@@ -264,30 +276,26 @@ def _make_mega_runner(chunks, state, frame_shape, templ_shape, chunk_size,
         O_BX,
         O_POISON,
         O_UPDATED,
-        mega_track_chunk,
     )
-    from pvot.tracker.mega import _state_from_chunk
+    from pvot.tracker.mega import mega_chunk_step
 
     if not MegaGeometry(frame_shape, templ_shape, config).supported():
         raise ValueError("geometry outside the mega envelope")
-    state_extract = jax.jit(_state_from_chunk)
 
     def run_once(fetch: bool):
         rows_all = []
         for _ in range(passes):
             st = state  # fresh initial state: each pass is a full run
             for c in chunks:
-                rows, tplout = mega_track_chunk(
-                    c,
-                    jnp.stack(
-                        [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h]
-                    ).astype(jnp.int32),
-                    st.template, st.t_mean, st.t_std, st.lost_count,
-                    st.use_global, jnp.int32(chunk_size),
+                # One fused dispatch per chunk (kernel + state extract in
+                # one jitted program — each eager helper op on the relay
+                # is its own dispatch round trip, pvot.tracker.mega).
+                rows, st = mega_chunk_step(
+                    c, st, chunk_size,
                     frame_shape=frame_shape, templ_shape=templ_shape,
                     config=config, highest=highest,
+                    score_passes=score_passes,
                 )
-                st = state_extract(rows, tplout)
                 rows_all.append(rows)
         dev = jnp.concatenate(rows_all, axis=0)
         if not fetch:

@@ -76,7 +76,20 @@ def _label(rec):
         return f"{m.group(1)} objects / frame (vmap)"
     m = re.match(r"multi_stream_(\d+)x_batch(\d+)_720p", cfg)
     if m:
-        return f"{m.group(1)} streams x batch {m.group(2)}"
+        grid = (
+            "mega grid" if rec.get("backend") == "mega"
+            else f"{rec.get('backend', 'scan')} lockstep scan"
+        )
+        return f"{m.group(1)} streams x batch {m.group(2)} ({grid})"
+    if cfg == "headline_median_720p":
+        return "720p headline (median of fresh processes)"
+    m = re.match(r"occl_(\w+)_720p", cfg)
+    if m:
+        what = (
+            "clean clip" if m.group(1) == "clean"
+            else f"occlusion every {m.group(1)[1:]} frames"
+        )
+        return f"720p occlusion regime ({what}, mega driver)"
     m = re.match(r"multi_stream_(\d+)x_(\d+)p", cfg)
     if m:
         engine = rec.get("backend")
@@ -156,6 +169,17 @@ def render(bench_files=None) -> str:
             )
         if "batch" in rec.get("config", "") and "batch_" in rec["config"]:
             notes.append("parity semantics (one update/batch)")
+        if "runs" in rec and "min" in rec and "max" in rec:
+            notes.append(
+                f"median of {len(rec['runs'])} fresh processes, range "
+                f"{_fmt_fps(rec['min'])}–{_fmt_fps(rec['max'])}"
+            )
+        if "scan_fps" in rec:
+            notes.append(
+                f"scan engine same process: {_fmt_fps(rec['scan_fps'])} FPS; "
+                f"{rec.get('global_frames', 0)} global-search frames; "
+                "trajectories asserted equal"
+            )
         if "relay_note" in rec:
             notes.append(rec["relay_note"])
         lines.append(

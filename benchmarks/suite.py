@@ -364,13 +364,8 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
     from pvot.config import TrackerConfig
     from pvot.io.gray import gray_u8_to_f32
     from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
-    from pvot.ops.ncc_mega import (
-        MegaGeometry,
-        O_BX,
-        O_POISON,
-        mega_track_chunk_multi,
-    )
-    from pvot.tracker.mega import _state_from_chunk
+    from pvot.ops.ncc_mega import MegaGeometry, O_BX, O_POISON
+    from pvot.tracker.mega import mega_chunk_step_multi
     from pvot.tracker.state import init_state
 
     config = TrackerConfig()
@@ -411,25 +406,18 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
         for i in range(0, num_frames, chunk_size)
     ]
     jax.block_until_ready(staged[-1])
-    extract = jax.jit(jax.vmap(_state_from_chunk))
-    n_valid = jnp.full((num_streams,), chunk_size, jnp.int32)
 
     def run(fetch):
         rows_all = []
         for _ in range(passes):
             st = states  # fresh initial states: each pass is a full run
             for c in staged:
-                rows, tplout = mega_track_chunk_multi(
-                    c,
-                    jnp.stack(
-                        [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
-                    ).astype(jnp.int32),
-                    st.template, st.t_mean, st.t_std, st.lost_count,
-                    st.use_global, n_valid,
+                # One fused dispatch per chunk (pvot.tracker.mega).
+                rows, st = mega_chunk_step_multi(
+                    c, st, chunk_size,
                     frame_shape=(height, width), templ_shape=(h, w),
                     config=config, highest=highest, batch=batch,
                 )
-                st = extract(rows, tplout)
                 rows_all.append(rows)
         dev = jnp.concatenate(rows_all, axis=1)  # (S, passes*F, TX)
         if not fetch:
@@ -674,13 +662,8 @@ def bench_multi_object_mega(num_objects=8, width=1280, height=720, templ=80,
         generate_gray_frames,
         target_bbox,
     )
-    from pvot.ops.ncc_mega import (
-        MegaGeometry,
-        O_BX,
-        O_POISON,
-        mega_track_chunk_objects,
-    )
-    from pvot.tracker.mega import _state_from_chunk
+    from pvot.ops.ncc_mega import MegaGeometry, O_BX, O_POISON
+    from pvot.tracker.mega import mega_chunk_step_objects
     from pvot.tracker.state import init_state
 
     config = TrackerConfig()
@@ -707,25 +690,18 @@ def bench_multi_object_mega(num_objects=8, width=1280, height=720, templ=80,
         for i in range(0, num_frames, chunk_size)
     ]
     jax.block_until_ready(staged[-1])
-    extract = jax.jit(jax.vmap(_state_from_chunk))
-    n_valid = jnp.full((num_objects,), chunk_size, jnp.int32)
 
     def run(fetch):
         rows_all = []
         for _ in range(passes):
             st = states
             for c in staged:
-                rows, tplout = mega_track_chunk_objects(
-                    c,
-                    jnp.stack(
-                        [st.bbox_x, st.bbox_y, st.bbox_w, st.bbox_h], axis=-1
-                    ).astype(jnp.int32),
-                    st.template, st.t_mean, st.t_std, st.lost_count,
-                    st.use_global, n_valid,
+                # One fused dispatch per chunk (pvot.tracker.mega).
+                rows, st = mega_chunk_step_objects(
+                    c, st, chunk_size,
                     frame_shape=(height, width), templ_shape=(h, w),
-                    config=config, highest=highest, batch=batch,
+                    config=config, highest=highest,
                 )
-                st = extract(rows, tplout)
                 rows_all.append(rows)
         dev = jnp.concatenate(rows_all, axis=1)  # (K, P*F, TX)
         if not fetch:
@@ -1084,7 +1060,54 @@ CONFIGS = {
     # Occlusion-heavy regime (round 4): poison-rate sweep, mega driver vs
     # scan engine on periodically-occluded clips; locates the crossover.
     "12": lambda frames: bench_occlusion(),
+    # Median-of-N fresh-process headline (round-4 VERDICT item 5): relay
+    # session age swings single-process headline numbers up to +-40%
+    # (docs/PERFORMANCE.md rule 4), so the repo's quoted headline is the
+    # MEDIAN of >=3 fresh bench.py subprocesses with the range disclosed.
+    "13": lambda frames: bench_headline_median(),
 }
+
+
+def bench_headline_median(runs=3):
+    """Run bench.py in `runs` FRESH subprocesses and record the median
+    with min/max: each subprocess is a new relay session, so this is the
+    honest headline protocol under the documented session-age variance
+    (every run still ground-truth-checks its trajectories internally)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    vals, recs = [], []
+    for i in range(runs):
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            capture_output=True, text=True, cwd=repo,
+        )
+        line = next(
+            ln for ln in reversed(r.stdout.strip().splitlines())
+            if ln.startswith("{")
+        )
+        rec = json.loads(line)
+        if rec.get("max_l1_err_px", 1) != 0:
+            raise AssertionError(f"headline run {i} trajectory error: {rec}")
+        vals.append(rec["value"])
+        recs.append(rec)
+        print(f"run {i}: {rec['value']} FPS", flush=True)
+    med = sorted(vals)[len(vals) // 2]
+    out = {
+        "config": "headline_median_720p",
+        "backend": recs[0]["backend"],
+        "value": med,
+        "unit": "frames/s",
+        "vs_baseline": round(med / REFERENCE_FPS, 2),
+        "runs": sorted(round(v, 2) for v in vals),
+        "min": min(vals),
+        "max": max(vals),
+        "tier": recs[0].get("tier"),
+        "protocol": f"median of {runs} fresh bench.py subprocesses",
+    }
+    print(json.dumps(out), flush=True)
+    return [out]
 
 
 def main():
