@@ -1140,12 +1140,14 @@ def main():
     enable_compilation_cache()  # scan compiles persist across subprocesses
     keys = [k.strip() for k in args.configs.split(",")]
     results = []
+    succeeded = set()
     if args.inline or len(keys) == 1:
         for key in keys:
             got = CONFIGS[key](args.frames)
             for rec in got if isinstance(got, list) else [got]:
                 print(json.dumps(rec), flush=True)
                 results.append(rec)
+            succeeded.add(key)
     else:
         import subprocess
         import sys
@@ -1167,26 +1169,34 @@ def main():
             with open(tmp) as f:
                 results.extend(json.load(f))
             os.unlink(tmp)
+            succeeded.add(key)
     if args.meta:
         results.append({"_meta": args.meta})
-    results = merge_results(args.out, results)
+    results = merge_results(args.out, results, succeeded)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
 
 
-def merge_results(path: str, new: list) -> list:
+def merge_results(path: str, new: list, succeeded=()) -> list:
     """Merge a (possibly partial) run into an existing results file.
 
     Records are keyed by (config, backend): a re-run config replaces its
     old row IN PLACE (table order is stable), novel configs append before
     the _meta row.  A partial `--configs 7md` run therefore refreshes one
     row instead of clobbering the whole committed table (which is what a
-    bare overwrite did — the docs table is generated from this file)."""
+    bare overwrite did — the docs table is generated from this file).
+
+    `succeeded` is the set of config KEYS that completed this run: any
+    fossil "<config K>" error row for those keys is dropped (a failed
+    run's error row is keyed by the suite key, a successful re-run's
+    rows by real config names, so replacement alone never cleans them)."""
     try:
         with open(path) as f:
             merged = json.load(f)
     except (OSError, ValueError):
         return new
+    stale = {f"<config {k}>" for k in succeeded}
+    merged = [r for r in merged if r.get("config") not in stale]
     key = lambda r: (r.get("config"), r.get("backend"))  # noqa: E731
     # Drop stale same-key duplicates first (pre-merge-era files could hold
     # two rows for one key; replacement only ever hit the first, so the

@@ -171,6 +171,25 @@ def test_suite_merge_results_partial_run(tmp_path):
         {"config": "a", "backend": "fast", "value": 5},
         {"_meta": "old"},
     ]
+    # A successful re-run of suite key K drops K's fossil error row (the
+    # error row is keyed "<config K>", the re-run's rows by real config
+    # names, so in-place replacement alone never cleans it).
+    path.write_text(json.dumps([
+        {"config": "<config 4>", "error": "rc=1"},
+        {"config": "b", "backend": "mega", "value": 2},
+        {"_meta": "old"},
+    ]))
+    merged4 = merge_results(str(path), [
+        {"config": "r160", "backend": "mega", "value": 9},
+    ], succeeded={"4"})
+    assert merged4 == [
+        {"config": "b", "backend": "mega", "value": 2},
+        {"config": "r160", "backend": "mega", "value": 9},
+        {"_meta": "old"},
+    ]
+    # ...but a key that did NOT succeed keeps its error row.
+    merged5 = merge_results(str(path), [], succeeded={"5"})
+    assert {"config": "<config 4>", "error": "rc=1"} in merged5
 
 
 def test_jaxcache_enable_and_disable(tmp_path, monkeypatch):
