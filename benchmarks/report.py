@@ -55,6 +55,8 @@ _LABELS = {
     "batch_32_720p": "720p batch (`--batch=32`)",
     "1080p_r160": "1080p, radius 160",
     "4k_r160": "4K, radius 160",
+    "1080p_r160_fast": "1080p, radius 160 (fast tier)",
+    "4k_r160_fast": "4K, radius 160 (fast tier)",
     "pallas_720p_80px": "720p Pallas kernel (`--shared/--const/--const_tiled`)",
     "mode_cpu_720p": "mode `--cpu` (TM_CCOEFF_NORMED full map)",
     "mode_cuda_720p": "mode `--cuda`/naive (MXU matmul engine, HIGHEST)",

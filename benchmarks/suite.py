@@ -342,7 +342,7 @@ def bench_multi_stream(num_streams=8, width=1280, height=720, templ=80,
 
 def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
                             num_frames=256, chunk_size=64, highest=True,
-                            passes=1, batch=1):
+                            passes=1, batch=1, score_passes=3):
     """Serving on the MULTI-STREAM mega kernel: every chunk of every stream
     in ONE pallas_call (grid (S, F), pvot.ops.ncc_mega.mega_track_chunk_multi).
 
@@ -417,6 +417,7 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
                     c, st, chunk_size,
                     frame_shape=(height, width), templ_shape=(h, w),
                     config=config, highest=highest, batch=batch,
+                    score_passes=score_passes,
                 )
                 rows_all.append(rows)
         dev = jnp.concatenate(rows_all, axis=1)  # (S, passes*F, TX)
@@ -468,6 +469,10 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
         "elapsed_s": round(elapsed, 4),
         "max_l1_err_px": int(max(errs)),
         "poisoned": int((host[:, :, O_POISON] != 0.0).sum()),
+        **(
+            {} if highest
+            else {"tier": f"fast_{score_passes}pass_bf16_hilo"}
+        ),
     }
 
 
@@ -545,7 +550,8 @@ def bench_mode_comparison(frames=512):
 
 
 def bench_mega(name="mega_720p", *, width=1280, height=720, templ=80,
-               num_frames=2048, chunk_size=512, radius=None, passes=1):
+               num_frames=2048, chunk_size=512, radius=None, passes=1,
+               highest=True, score_passes=3):
     """The mega-kernel path (whole chunk in ONE pallas_call,
     pvot.ops.ncc_mega) — the suite row behind bench.py's default backend,
     and (round 4, via radius=) the r160 stress rows the span-tiled kernel
@@ -579,7 +585,7 @@ def bench_mega(name="mega_720p", *, width=1280, height=720, templ=80,
     jax.block_until_ready(chunks[-1])
     run_once, finish = _make_mega_runner(
         chunks, state, (height, width), (h, w), chunk_size, config,
-        passes=passes,
+        passes=passes, highest=highest, score_passes=score_passes,
     )
     host, elapsed = _stage_flip_time(
         lambda: run_once(fetch=False), lambda: run_once(fetch=True)
@@ -600,6 +606,10 @@ def bench_mega(name="mega_720p", *, width=1280, height=720, templ=80,
         "frames": total,
         "elapsed_s": round(elapsed, 4),
         "max_l1_err_px": int(max(errs)),
+        **(
+            {} if highest
+            else {"tier": f"fast_{score_passes}pass_bf16_hilo"}
+        ),
         **extras,
     }
 
@@ -628,9 +638,12 @@ def bench_stream_sweep(sizes=(8, 16, 32, 64), backend="fast"):
     for s in sizes:
         frames, chunk, passes = plans.get(s, (64, 8, 8))
         if backend in ("mega", "mega_fast"):
+            # The fast tier matches the bench.py headline default
+            # (2-pass bf16 hi/lo; every pass ground-truth-checked).
             out.append(bench_multi_stream_mega(
                 s, num_frames=frames, chunk_size=chunk,
                 highest=(backend == "mega"), passes=passes,
+                score_passes=2 if backend == "mega_fast" else 3,
             ))
         else:
             out.append(bench_multi_stream(
@@ -958,6 +971,8 @@ def _bench_r160(name, **kw):
 
         print(f"suite: mega unavailable for {name} ({type(e).__name__}); "
               "falling back to the scan auto engine", file=sys.stderr)
+        kw.pop("highest", None)
+        kw.pop("score_passes", None)
         return bench_tracking(name, radius=160, backend="auto", **kw)
 
 
@@ -991,6 +1006,22 @@ CONFIGS = {
         _bench_r160(
             "4k_r160", width=3840, height=2160,
             num_frames=min(frames, 128), chunk_size=32,
+        ),
+    ],
+    # The same r160 rows on the bench-headline fast tier (2-pass bf16
+    # hi/lo score loop, pvot/ops/ncc_mega.py score_passes) — like the
+    # headline, trajectory validity is guarded per run by the ground
+    # -truth check inside bench_mega (max_l1_err_px in the row).
+    "4f": lambda frames: [
+        _bench_r160(
+            "1080p_r160_fast", width=1920, height=1080,
+            num_frames=min(frames, 256), chunk_size=64,
+            highest=False, score_passes=2,
+        ),
+        _bench_r160(
+            "4k_r160_fast", width=3840, height=2160,
+            num_frames=min(frames, 128), chunk_size=32,
+            highest=False, score_passes=2,
         ),
     ],
     "5": lambda frames: bench_multi_object(),
