@@ -63,6 +63,8 @@ _LABELS = {
     "mode_fast_720p": "mode `--fast` (matmul engine, precision=HIGH)",
     "mode_shared_720p": "mode `--shared/--const/--const_tiled` (Pallas)",
     "mega_720p": "720p mega-kernel (`--mega` suite row)",
+    "hetero_serving_720p_1080p":
+        "mixed-geometry serving (8x720p/80px + 4x1080p/64px, grouped mega)",
 }
 
 

@@ -476,6 +476,126 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
     }
 
 
+def bench_hetero_serving(passes=4):
+    """Mixed-geometry serving (suite key 7h): two geometry groups — 8 x
+    720p streams with an 80x80 template and 4 x 1080p streams with a 64x64
+    template — staged on device and tracked through the SAME grouped
+    mega-call structure `pvot.serve_streams_grouped` uses (one multi-stream
+    mega dispatch per group chunk; the groups' dispatches interleave and
+    the chip serializes them).  Every stream validates against its own
+    clip's ground truth.  This is the staged device-throughput companion
+    to the live-path 7me row for round 4's heterogeneous serving
+    (real multi-camera fleets mix frame and template geometries)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import (
+        SyntheticSpec,
+        generate_gray_frames,
+        target_bbox,
+    )
+    from pvot.ops.ncc_mega import MegaGeometry, O_BX, O_POISON
+    from pvot.tracker.mega import mega_chunk_step_multi
+    from pvot.tracker.state import init_state
+
+    config = TrackerConfig()
+    # (streams, width, height, templ, frames, chunk): staged uint8 totals
+    # ~1.5 GB — inside the relay's ~2 GB per-process guideline.
+    plans = [
+        (8, 1280, 720, 80, 96, 32),
+        (4, 1920, 1080, 64, 96, 24),
+    ]
+    groups = []
+    for (S, wd, ht, tp, nf, ck) in plans:
+        if not MegaGeometry((ht, wd), (tp, tp), config).supported():
+            return {
+                "config": "hetero_serving_720p_1080p",
+                "skipped": f"({ht}p, {tp}px) outside the mega envelope",
+            }
+        spec = SyntheticSpec(
+            width=wd, height=ht, num_frames=max(257, nf + 1),
+            target_w=tp, target_h=tp, seed=1,
+        )
+        base = np.stack(list(itertools.islice(
+            generate_gray_frames(spec), nf + 1
+        )))
+        x, y, w, h = target_bbox(spec, 0)
+        one = init_state(
+            jnp.asarray(gray_u8_to_f32(base[0])[y : y + h, x : x + w]),
+            (x, y, w, h),
+        )
+        states = jax.tree.map(lambda a: jnp.stack([a] * S), one)
+        staged = [
+            jax.device_put(np.broadcast_to(
+                base[1 + i : 1 + i + ck][None], (S, ck, ht, wd)
+            ).copy())
+            for i in range(0, nf, ck)
+        ]
+        jax.block_until_ready(staged[-1])
+        groups.append(dict(
+            S=S, wh=(ht, wd), tshape=(h, w), spec=spec, states=states,
+            staged=staged, nf=nf, ck=ck, templ=tp,
+        ))
+
+    def run(fetch):
+        per_group_rows = [[] for _ in groups]
+        for _ in range(passes):
+            sts = [g["states"] for g in groups]  # fresh states per pass
+            max_chunks = max(len(g["staged"]) for g in groups)
+            for ci in range(max_chunks):
+                # Interleave the groups' dispatches, as the grouped live
+                # driver's concurrent host threads do.
+                for gi, g in enumerate(groups):
+                    if ci < len(g["staged"]):
+                        rows, sts[gi] = mega_chunk_step_multi(
+                            g["staged"][ci], sts[gi], g["ck"],
+                            frame_shape=g["wh"], templ_shape=g["tshape"],
+                            config=config, highest=True,
+                        )
+                        per_group_rows[gi].append(rows)
+        devs = [jnp.concatenate(r, axis=1) for r in per_group_rows]
+        if not fetch:
+            return devs
+        for d in devs:
+            d.copy_to_host_async()
+        return [np.asarray(d) for d in devs]  # packed transfers
+
+    host, elapsed = _stage_flip_time(lambda: run(False), lambda: run(True))
+    max_err, poisoned, total = 0, 0, 0
+    labels = []
+    for g, h_ in zip(groups, host):
+        bb = h_[:, :, O_BX : O_BX + 4].astype(np.int32)
+        errs = [
+            abs(int(bb[s, i, 0]) - target_bbox(g["spec"], (i % g["nf"]) + 1)[0])
+            + abs(int(bb[s, i, 1]) - target_bbox(g["spec"], (i % g["nf"]) + 1)[1])
+            for s in range(g["S"])
+            for i in range(g["nf"] * passes)
+        ]
+        max_err = max(max_err, max(errs))
+        poisoned += int((h_[:, :, O_POISON] != 0.0).sum())
+        total += g["S"] * g["nf"] * passes
+        labels.append(f"{g['S']}x{g['wh'][0]}p/{g['templ']}px")
+    agg = total / elapsed
+    return {
+        "config": "hetero_serving_720p_1080p",
+        "backend": "mega",
+        "value": round(agg, 1),
+        "unit": "aggregate frames/s (all streams)",
+        "vs_baseline": round(agg / REFERENCE_FPS, 2),
+        "aggregate_fps": round(agg, 1),
+        "groups": labels,
+        "frames": total,
+        "passes": passes,
+        "elapsed_s": round(elapsed, 4),
+        "max_l1_err_px": int(max_err),
+        "poisoned": poisoned,
+    }
+
+
 def bench_pallas():
     """The hand-written Pallas engine on real hardware: on-device parity vs
     the matmul engine at headline geometry, then the tracked-FPS bench with
@@ -1060,6 +1180,9 @@ CONFIGS = {
     # hi/lo score dot; trajectory-checked against ground truth like every
     # mega serving row).
     "7mf": lambda frames: bench_stream_sweep(sizes=(32,), backend="mega_fast"),
+    # Heterogeneous serving (round 4): mixed frame/template geometries
+    # through the grouped mega-call structure, staged device throughput.
+    "7h": lambda frames: bench_hetero_serving(),
     # END-TO-END live serving (pvot.serve_streams): decode feeds + staging
     # + upload + mega kernel + record fetch all timed; relay-tunnel lower
     # bound (see bench_serving_e2e docstring).
