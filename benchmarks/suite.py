@@ -514,6 +514,7 @@ def bench_hetero_serving(passes=4):
         if not MegaGeometry((ht, wd), (tp, tp), config).supported():
             return {
                 "config": "hetero_serving_720p_1080p",
+                "backend": "mega",
                 "skipped": f"({ht}p, {tp}px) outside the mega envelope",
             }
         spec = SyntheticSpec(
@@ -580,12 +581,17 @@ def bench_hetero_serving(passes=4):
         total += g["S"] * g["nf"] * passes
         labels.append(f"{g['S']}x{g['wh'][0]}p/{g['templ']}px")
     agg = total / elapsed
+    n_streams = sum(g["S"] for g in groups)
+    # "value" is per-stream-equivalent (aggregate / total streams) so the
+    # row's FPS column is unit-comparable with the homogeneous serving
+    # rows, which all report frames/s per stream (round-4 ADVICE item).
+    per_stream = agg / n_streams
     return {
         "config": "hetero_serving_720p_1080p",
         "backend": "mega",
-        "value": round(agg, 1),
-        "unit": "aggregate frames/s (all streams)",
-        "vs_baseline": round(agg / REFERENCE_FPS, 2),
+        "value": round(per_stream, 2),
+        "unit": f"frames/s per stream ({n_streams} mixed streams)",
+        "vs_baseline": round(per_stream / REFERENCE_FPS, 2),
         "aggregate_fps": round(agg, 1),
         "groups": labels,
         "frames": total,
@@ -703,7 +709,7 @@ def bench_mega(name="mega_720p", *, width=1280, height=720, templ=80,
         for i in range(0, num_frames, chunk_size)
     ]
     jax.block_until_ready(chunks[-1])
-    run_once, finish = _make_mega_runner(
+    run_once, _run_timed, finish = _make_mega_runner(
         chunks, state, (height, width), (h, w), chunk_size, config,
         passes=passes, highest=highest, score_passes=score_passes,
     )

@@ -292,6 +292,113 @@ def test_track_video_sharded_matches_unsharded():
     )
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_search_sharded_global_reacquisition_matches_unsharded():
+    """Round-5 VERDICT item: the sharded GLOBAL-SEARCH branch (full-map
+    strip-per-device scorer + share mask + _lex_combine) was never
+    exercised by any test.  Drive an exit-and-reenter clip with a small
+    lost_frame_threshold through the (2x4)-mesh scanned driver and assert
+    exact bbox/flag parity with the unsharded scan through the whole
+    lost -> global -> re-acquire arc (tracker_ghc/src/main.cpp:399-446)."""
+    from pvot.parallel.sharded import track_video_sharded
+
+    cfg = TrackerConfig(
+        search_radius_x=20, search_radius_y=20, lost_frame_threshold=6
+    )
+    specs = [
+        SyntheticSpec(
+            width=320, height=240, num_frames=40, target_w=32, target_h=32,
+            seed=seed, exit_and_reenter=True,
+        )
+        for seed in (3, 7)
+    ]
+    videos = [generate_gray_video(s) for s in specs]
+    states_l = []
+    for spec, video in zip(specs, videos):
+        x, y, w, h = target_bbox(spec, 0)
+        templ = gray_u8_to_f32(video[0])[y : y + h, x : x + w]
+        states_l.append(init_state(jnp.asarray(templ), (x, y, w, h)))
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *states_l)
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "search"))
+    stacked = np.stack([v[1:] for v in videos])  # (S=2, F=39, H, W)
+    final, out = track_video_sharded(stacked, states, mesh, cfg, chunk_size=8)
+
+    any_global = False
+    for s, video in enumerate(videos):
+        _, single = track_video(video[1:], states_l[s], cfg, chunk_size=8)
+        np.testing.assert_array_equal(
+            np.asarray(out.bbox)[:, s, :], np.asarray(single.bbox)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.used_global)[:, s], np.asarray(single.used_global)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.updated)[:, s], np.asarray(single.updated)
+        )
+        # Global-frame scores integrate integral images over per-device
+        # strips instead of the full map — f32 rounding grows to ~5e-4
+        # (trajectories/flags above stay EXACT, which is the contract).
+        np.testing.assert_allclose(
+            np.asarray(out.score)[:, s], np.asarray(single.score), atol=2e-3
+        )
+        any_global = any_global or bool(np.asarray(single.used_global).any())
+    assert any_global, "fixture never entered global search — test is vacuous"
+    # The arc must complete: re-acquired near ground truth at the end.
+    for s, spec in enumerate(specs):
+        gx, gy, _, _ = target_bbox(spec, spec.num_frames - 1)
+        last = np.asarray(out.bbox)[-1, s]
+        assert abs(int(last[0]) - gx) <= 3 and abs(int(last[1]) - gy) <= 3
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_search_sharded_global_tie_row_major_across_shards():
+    """A full-map EXACT score tie spanning two different search shards must
+    land on the row-major first occurrence (cv::minMaxLoc semantics carried
+    through _lex_combine's all_gather fold).  The frame is built from
+    dyadic f32 values (multiples of 2^-2) so every integral-image sum, dot
+    product, and mean is exact in f32 — the two planted template copies
+    score bit-identically and the tie is real, not a rounding accident."""
+    h_f, w_f, ts = 192, 256, 32
+    rng = np.random.default_rng(42)
+    pattern = rng.integers(0, 4, (ts, ts)).astype(np.float32) * 0.25
+    frame = np.zeros((h_f, w_f), np.float32)
+    # out_h = 161, full_slab = 41 on a 4-way search axis: y=30 lives in
+    # search shard 0, y=130 in shard 3.
+    y1, x1 = 30, 40
+    y2, x2 = 130, 200
+    frame[y1 : y1 + ts, x1 : x1 + ts] = pattern
+    frame[y2 : y2 + ts, x2 : x2 + ts] = pattern
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "search"))
+    one = init_state(jnp.asarray(pattern), (x2, y2, ts, ts))._replace(
+        use_global=jnp.bool_(True)  # force the full-map branch this frame
+    )
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), one, one)
+    states = shard_states(mesh, states, P("data"))
+    sharded = jax.jit(make_search_sharded_step(mesh, (h_f, w_f), (ts, ts), CFG))
+    frames = jnp.stack([jnp.asarray(frame)] * 2)
+    _, out = sharded(states, frames)
+
+    # Unsharded oracle: same frame, same forced-global state.
+    step = make_step((h_f, w_f), (ts, ts), CFG, strategy="fused")
+    _, ref = jax.jit(step)(one, jnp.asarray(frame))
+    assert bool(ref.used_global), "oracle did not search globally"
+    np.testing.assert_array_equal(
+        np.asarray(ref.bbox), np.asarray([x1, y1, ts, ts])
+    )
+    for s in range(2):
+        assert bool(np.asarray(out.used_global)[s])
+        np.testing.assert_array_equal(
+            np.asarray(out.bbox)[s], np.asarray(ref.bbox)
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(out.score)[s]), float(ref.score), atol=1e-6
+        )
+
+
 def test_track_video_sharded_backend_arg():
     """Round 4: the sharded step's per-slab engine is selectable.  On this
     CPU mesh the Pallas probe fails at the slab geometry and the registry

@@ -1,22 +1,35 @@
-"""Where do the mega-kernel's ~54.5 us/frame go?
+"""Where do the mega-kernel's per-frame microseconds go?
 
-Rung ladder ON THE REAL CHIP: variants of the mega kernel with later
-stages statically disabled, timed in-grid over a full chunk with the
+Rung ladder ON THE REAL CHIP: variants of the mega kernel with stages
+statically disabled, timed in-grid over a full chunk with the
 stage/flip/time protocol.  Consecutive deltas attribute the per-frame
-cost.  Rungs:
+cost.  Round-5 ladder (the round-4 version lumped dma+convert+roll into
+one rung and only measured the HIGHEST tier; the adopted 2-pass kernel's
+~26 us/frame of non-MXU time was unattributed — VERDICT r4 weak #1):
 
-  dma      — slab DMA + u8->f32 convert + the two alignment rolls; emits a
-             checksum row so nothing is DCE'd
-  score    — + the shear score loop (the 80 per-row MXU dots) + box sums
-  argmax   — + masked argmax + confidence gate + bbox/state commit
-  full     — + template EMA + stats recompute (the production kernel)
+  dma        — slab DMA only (u8 checksum consume; no convert, no rolls)
+  convert    — + full-slab u8->i32->f32 convert
+  roll       — + the two alignment rolls (slab-sized f32)
+  score_box  — + the p-loop bsum/bsq VPU folds + box-operator dots +
+               normalization (NO correlation: tt build + t1p dots + acc
+               fold statically skipped; scores are box-stats only)
+  score      — + the shear correlation (80 tt builds + MXU dots + acc
+               folds) — i.e. the full score pass at the chosen tier
+  argmax     — + masked argmax + confidence gate + bbox/state commit
+  full       — + template EMA patch rolls + stats recompute (production)
+
+Deltas: convert-dma = the u8->f32 convert; roll-convert = the alignment
+rolls; score_box-roll = box sums; score-score_box = the correlation
+(tt build + dots + acc); argmax-score; full-argmax = EMA+stats.
 
 Each rung is a separate pallas_call build sharing _mega_kernel's geometry
 and memory layout (kept in sync by hand; this is a measurement tool, not a
 product path).  Inputs are perturbed per run to defeat LICM hoisting
 (tools/README.md trap catalogue).
 
-Usage: nohup python tools/mega_breakdown.py > /tmp/mega_bd.log 2>&1 &
+Usage:
+  nohup python tools/mega_breakdown.py [--tier 2pass|3pass|highest] \
+      > /tmp/mega_bd.log 2>&1 &
 """
 
 from __future__ import annotations
@@ -31,8 +44,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+RUNGS = ["dma", "convert", "roll", "score_box", "score", "argmax", "full"]
 
-def build_rung(rung: str, g, config, f: int):
+
+def build_rung(rung: str, g, config, f: int, tier: str):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -48,6 +63,7 @@ def build_rung(rung: str, g, config, f: int):
     lr = float(config.template_update_lr)
     half_w, half_h = tw // 2, th // 2
     rx, ry = int(config.search_radius_x), int(config.search_radius_y)
+    level = RUNGS.index(rung)
 
     def kernel(frames_hbm, tpl0_ref, box_ref, sf0_ref, si0_ref,
                out_ref, tplout_ref, slab_ref, tpl_ref, sf_ref, si_ref, sem):
@@ -81,48 +97,89 @@ def build_rung(rung: str, g, config, f: int):
         )
         cp.start()
         cp.wait()
-        slab = (
-            slab_ref[:, :].astype(jnp.int32).astype(jnp.float32)
-            * jnp.float32(1.0 / 255.0)
-        )
-        slab = pltpu.roll(slab, g.slab_h - (y0 - ya), 0)
-        slab = pltpu.roll(slab, g.slab_w - (x0 - xa), 1)
 
         lane = lax.broadcasted_iota(jnp.int32, (8, TX), 1)
         f32 = jnp.float32
 
-        if rung == "dma":
-            # Consume the slab so nothing is eliminated; keep state moving
-            # so every frame's DMA window differs like production.
-            chk = jnp.sum(slab[:ty, :TX])
+        def walk(chk):
+            # Keep state moving so every frame's DMA window differs like
+            # production; consume `chk` so nothing is DCE'd.
             si_ref[0] = jnp.minimum(bx + 1, g.frame_w - tw - 1)
             si_ref[1] = jnp.minimum(by + (t & 1), g.frame_h - th - 1)
             out_ref[:, :] = jnp.where(lane == 4, chk, 0.0)
+
+        if rung == "dma":
+            # u8 checksum: no convert.  (Cheap i32 row-sum of one row
+            # block; cost negligible vs the DMA itself.)
+            chk = jnp.sum(slab_ref[:8, :].astype(jnp.int32)).astype(f32)
+            walk(chk)
+            return
+
+        slab = (
+            slab_ref[:, :].astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / 255.0)
+        )
+        if rung == "convert":
+            walk(jnp.sum(slab[:ty, :TX]))
+            return
+
+        slab = pltpu.roll(slab, g.slab_h - (y0 - ya), 0)
+        slab = pltpu.roll(slab, g.slab_w - (x0 - xa), 1)
+        if rung == "roll":
+            walk(jnp.sum(slab[:ty, :TX]))
             return
 
         t_mean, t_std_in, sum_tc = sf_ref[0], sf_ref[1], sf_ref[2]
         row8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 0)
         col8 = lax.broadcasted_iota(jnp.int32, (8, m_lanes), 1)
+        with_corr = level >= RUNGS.index("score")
         acc = jnp.zeros((ty, TX), jnp.float32)
         bsum = jnp.zeros((ty, tile_lanes), jnp.float32)
         bsq = jnp.zeros((ty, tile_lanes), jnp.float32)
         for k in range(g.k_blocks):
             w_ = slab[8 * k : 8 * k + ty + 8, :tile_lanes]
             wsq = w_ * w_
-            valid8 = ((8 * k + row8) < th) & (col8 < tw)
-            t8 = jnp.where(valid8, tpl_ref[pl.ds(8 * k, 8), :] - t_mean, 0.0)
+            if with_corr:
+                valid8 = ((8 * k + row8) < th) & (col8 < tw)
+                t8 = jnp.where(
+                    valid8, tpl_ref[pl.ds(8 * k, 8), :] - t_mean, 0.0
+                )
+                if tier != "highest":
+                    wh = w_.astype(jnp.bfloat16)
+                    if tier != "2pass":
+                        wl = (w_ - wh.astype(jnp.float32)).astype(jnp.bfloat16)
             for p in range(8):
                 if 8 * k + p >= th:
                     break
-                b = jnp.broadcast_to(t8[p : p + 1, :], (TX, m_lanes))
-                tt = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)
-                t1p = lax.dot_general(
-                    w_, tt[:, :tile_lanes],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST,
-                )
-                acc = acc + t1p[p : p + ty, :]
+                if with_corr:
+                    b = jnp.broadcast_to(t8[p : p + 1, :], (TX, m_lanes))
+                    tt = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)
+                    tv = tt[:, :tile_lanes]
+                    if tier == "highest":
+                        t1p = lax.dot_general(
+                            w_, tv,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST,
+                        )
+                    else:
+                        tth = tv.astype(jnp.bfloat16)
+                        ttl = (tv - tth.astype(jnp.float32)).astype(
+                            jnp.bfloat16
+                        )
+
+                        def d1(a_, b_):
+                            return lax.dot_general(
+                                a_, b_,
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+
+                        if tier == "2pass":
+                            t1p = d1(wh, tth) + d1(wh, ttl)
+                        else:
+                            t1p = d1(wh, tth) + d1(wh, ttl) + d1(wl, tth)
+                    acc = acc + t1p[p : p + ty, :]
                 bsum = bsum + w_[p : p + ty, :]
                 bsq = bsq + wsq[p : p + ty, :]
 
@@ -141,11 +198,8 @@ def build_rung(rung: str, g, config, f: int):
         cov = acc - mean * sum_tc
         s = cov / ((std + 1e-6) * (t_std_in + 1e-6) * n)
 
-        if rung == "score":
-            chk = jnp.sum(s)
-            si_ref[0] = jnp.minimum(bx + 1, g.frame_w - tw - 1)
-            si_ref[1] = jnp.minimum(by + (t & 1), g.frame_h - th - 1)
-            out_ref[:, :] = jnp.where(lane == 4, chk, 0.0)
+        if rung in ("score_box", "score"):
+            walk(jnp.sum(s))
             return
 
         dy = lax.broadcasted_iota(jnp.int32, (ty, TX), 0)
@@ -251,7 +305,7 @@ def build_rung(rung: str, g, config, f: int):
     return jax.jit(call)
 
 
-def main(width=1280, height=720, templ=80, chunk=512):
+def main(width=1280, height=720, templ=80, chunk=512, tier="2pass"):
     from pvot.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -285,11 +339,10 @@ def main(width=1280, height=720, templ=80, chunk=512):
     si0 = jnp.asarray([x, y, w, h, 0, 0, chunk, 0], jnp.int32)
     box = jnp.asarray(_box_operator(g.tile_lanes, g.tw))
 
-    rungs = ["dma", "score", "argmax", "full"]
     fns = {}
     staged = {}
-    for r in rungs:
-        fns[r] = build_rung(r, g, config, chunk)
+    for r in RUNGS:
+        fns[r] = build_rung(r, g, config, chunk, tier)
         # Perturb per rung (distinct input buffers) to defeat cross-rung
         # caching artifacts; same bits.
         staged[r] = jax.device_put(framesp)
@@ -303,7 +356,7 @@ def main(width=1280, height=720, templ=80, chunk=512):
     _ = np.asarray(flip)
 
     results = {}
-    for r in rungs:
+    for r in RUNGS:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -315,11 +368,20 @@ def main(width=1280, height=720, templ=80, chunk=512):
               flush=True)
     deltas = {}
     prev = 0.0
-    for r in rungs:
+    for r in RUNGS:
         deltas[r] = round(results[r] - prev, 2)
         prev = results[r]
-    print(json.dumps({"mega_breakdown": results, "deltas": deltas}))
+    print(json.dumps(
+        {"tier": tier, "mega_breakdown": results, "deltas": deltas}
+    ))
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tier", default="2pass",
+                    choices=["2pass", "3pass", "highest"])
+    ap.add_argument("--chunk", type=int, default=512)
+    args = ap.parse_args()
+    main(chunk=args.chunk, tier=args.tier)
