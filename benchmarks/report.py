@@ -56,6 +56,9 @@ _LABELS = {
     "1080p_r160": "1080p, radius 160",
     "4k_r160": "4K, radius 160",
     "1080p_r160_fast": "1080p, radius 160 (fast tier)",
+    "1080p_t160_r160": "1080p, 160x160 template, radius 160",
+    "1080p_t160_r160_fast":
+        "1080p, 160x160 template, radius 160 (fast tier)",
     "4k_r160_fast": "4K, radius 160 (fast tier)",
     "pallas_720p_80px": "720p Pallas kernel (`--shared/--const/--const_tiled`)",
     "mode_cpu_720p": "mode `--cpu` (TM_CCOEFF_NORMED full map)",
@@ -65,6 +68,8 @@ _LABELS = {
     "mega_720p": "720p mega-kernel (`--mega` suite row)",
     "hetero_serving_720p_1080p":
         "mixed-geometry serving (8x720p/80px + 4x1080p/64px, grouped mega)",
+    "hetero_serving_720p_1080p_batch4":
+        "mixed-geometry serving x batch 4 (grouped mega, look-ahead cadence)",
 }
 
 
@@ -80,11 +85,20 @@ def _label(rec):
         return f"{m.group(1)} objects / frame (vmap)"
     m = re.match(r"multi_stream_(\d+)x_batch(\d+)_720p", cfg)
     if m:
+        be = rec.get("backend")
         grid = (
-            "mega grid" if rec.get("backend") == "mega"
-            else f"{rec.get('backend', 'scan')} lockstep scan"
+            "mega grid" if be == "mega"
+            else "mega grid, fast tier" if be == "mega_fast"
+            else f"{be or 'scan'} lockstep scan"
         )
         return f"{m.group(1)} streams x batch {m.group(2)} ({grid})"
+    m = re.match(r"occl_serving_(\d+)x_p(\d+)_(\w+)", cfg)
+    if m:
+        return (
+            f"{m.group(1)}-stream occlusion serving "
+            f"(period {m.group(2)}, {m.group(3)}, "
+            f"{rec.get('backend', '?')} engine)"
+        )
     if cfg == "headline_median_720p":
         return "720p headline (median of fresh processes)"
     m = re.match(r"occl_(\w+)_720p", cfg)

@@ -476,7 +476,7 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
     }
 
 
-def bench_hetero_serving(passes=4):
+def bench_hetero_serving(passes=4, batch=1):
     """Mixed-geometry serving (suite key 7h): two geometry groups — 8 x
     720p streams with an 80x80 template and 4 x 1080p streams with a 64x64
     template — staged on device and tracked through the SAME grouped
@@ -555,7 +555,7 @@ def bench_hetero_serving(passes=4):
                         rows, sts[gi] = mega_chunk_step_multi(
                             g["staged"][ci], sts[gi], g["ck"],
                             frame_shape=g["wh"], templ_shape=g["tshape"],
-                            config=config, highest=True,
+                            config=config, highest=True, batch=batch,
                         )
                         per_group_rows[gi].append(rows)
         devs = [jnp.concatenate(r, axis=1) for r in per_group_rows]
@@ -570,11 +570,15 @@ def bench_hetero_serving(passes=4):
     labels = []
     for g, h_ in zip(groups, host):
         bb = h_[:, :, O_BX : O_BX + 4].astype(np.int32)
+        # batch > 1 (C10 look-ahead cadence): only every batch-th frame is
+        # scored; skipped rows re-emit the pre-batch bbox, so ground truth
+        # applies at the scored frames (bench_multi_stream_mega protocol).
         errs = [
             abs(int(bb[s, i, 0]) - target_bbox(g["spec"], (i % g["nf"]) + 1)[0])
             + abs(int(bb[s, i, 1]) - target_bbox(g["spec"], (i % g["nf"]) + 1)[1])
             for s in range(g["S"])
             for i in range(g["nf"] * passes)
+            if (i % g["nf"]) % batch == batch - 1
         ]
         max_err = max(max_err, max(errs))
         poisoned += int((h_[:, :, O_POISON] != 0.0).sum())
@@ -587,7 +591,10 @@ def bench_hetero_serving(passes=4):
     # rows, which all report frames/s per stream (round-4 ADVICE item).
     per_stream = agg / n_streams
     return {
-        "config": "hetero_serving_720p_1080p",
+        "config": (
+            "hetero_serving_720p_1080p" if batch == 1
+            else f"hetero_serving_720p_1080p_batch{batch}"
+        ),
         "backend": "mega",
         "value": round(per_stream, 2),
         "unit": f"frames/s per stream ({n_streams} mixed streams)",
@@ -1082,6 +1089,206 @@ def bench_occlusion(periods=(0, 256, 128, 64), *, width=1280, height=720,
     return out
 
 
+def bench_occlusion_serving(num_streams=8, stagger=True, *, width=1280,
+                            height=720, templ=80, num_frames=192,
+                            chunk_size=32, period=64, occ_len=12,
+                            lost_threshold=10, passes=2, scan_compare=True):
+    """Occlusion-heavy MULTI-STREAM serving (round-5 VERDICT item 4): the
+    single-stream occlusion sweep (config 12) never measured what a lost
+    stream costs the OTHER streams on the sequential (S, F) mega grid —
+    a global frame's strip pass (~24 local-window equivalents of score
+    work) stalls every later grid step behind it.
+
+    Per-stream occlusion cycles of `period` frames with `occ_len` occluded
+    frames each; stagger=True offsets each stream's cycle phase (the
+    realistic multi-camera case), stagger=False occludes ALL streams
+    simultaneously (the worst case).  Engines, all same-process A/B on the
+    same staged clips: mega HIGHEST, mega 2-pass fast tier, then (after
+    freeing the mega staging — two layouts at once would breach the ~2 GB
+    relay guideline) the vmapped shear scan serving path.  Trajectories
+    must agree across all three (the scan path is the semantics oracle —
+    during an occlusion there is no ground truth).  Returns one row per
+    engine so the crossover is read directly off the table."""
+    import jax
+    import jax.numpy as jnp
+
+    from pvot.config import TrackerConfig
+    from pvot.io.gray import gray_u8_to_f32
+    from pvot.io.synthetic import SyntheticSpec, generate_gray_video, target_bbox
+    from pvot.ops.ncc_mega import MegaGeometry, O_BX, O_GUSED, O_POISON
+    from pvot.parallel.multi import make_multi_stream_step
+    from pvot.tracker.mega import mega_chunk_step_multi, mega_multi_supported
+    from pvot.tracker.scan import make_masked_scan_fn
+    from pvot.tracker.state import init_state
+
+    config = TrackerConfig(lost_frame_threshold=lost_threshold)
+    name = (
+        f"occl_serving_{num_streams}x_p{period}_"
+        + ("staggered" if stagger else "simultaneous")
+    )
+    if not MegaGeometry((height, width), (templ, templ), config).supported():
+        return [{"config": name, "backend": "mega",
+                 "skipped": "geometry outside the mega envelope"}]
+    if not mega_multi_supported(
+        (height, width), (templ, templ), config, inkernel_global=True
+    ):
+        return [{"config": name, "backend": "mega",
+                 "skipped": "in-kernel-global multi probe failed"}]
+
+    # Phases scaled into [0, period - occ_len) so every stream's target is
+    # visible at frame 0 (the template must be croppable).
+    specs = [
+        SyntheticSpec(
+            width=width, height=height, num_frames=num_frames + 1,
+            target_w=templ, target_h=templ, seed=1 + s,
+            occlusion_period=period, occlusion_len=occ_len,
+            occlusion_phase=(
+                (s * (period - occ_len)) // num_streams if stagger else 0
+            ),
+        )
+        for s in range(num_streams)
+    ]
+    videos = np.stack([generate_gray_video(sp) for sp in specs])
+    states_l = []
+    for s, sp in enumerate(specs):
+        x, y, w, h = target_bbox(sp, 0)
+        templ_img = gray_u8_to_f32(videos[s, 0])[y : y + h, x : x + w]
+        states_l.append(init_state(jnp.asarray(templ_img), (x, y, w, h)))
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *states_l)
+
+    staged = [
+        jax.device_put(videos[:, 1 + i : 1 + i + chunk_size])
+        for i in range(0, num_frames, chunk_size)
+    ]
+    jax.block_until_ready(staged[-1])
+
+    def run_mega(fetch, highest, score_passes):
+        rows_all = []
+        for _ in range(passes):
+            st = states
+            for c in staged:
+                rows, st = mega_chunk_step_multi(
+                    c, st, chunk_size,
+                    frame_shape=(height, width), templ_shape=(h, w),
+                    config=config, highest=highest,
+                    score_passes=score_passes, inkernel_global=True,
+                )
+                rows_all.append(rows)
+        dev = jnp.concatenate(rows_all, axis=1)
+        if not fetch:
+            return dev
+        dev.copy_to_host_async()
+        return np.asarray(dev)
+
+    host_h, elapsed_h = _stage_flip_time(
+        lambda: run_mega(False, True, 3), lambda: run_mega(True, True, 3)
+    )
+    # Fast tier, same process/staging (honest A/B).
+    _ = run_mega(False, False, 2)  # compile
+    best_f, host_f = float("inf"), None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        host_f = run_mega(True, False, 2)
+        best_f = min(best_f, time.perf_counter() - t0)
+    elapsed_f = best_f
+
+    total = num_streams * num_frames * passes
+    rows = []
+    for tier, host, elapsed in (
+        ("mega", host_h, elapsed_h), ("mega_fast", host_f, elapsed_f)
+    ):
+        agg = total / elapsed
+        rows.append({
+            "config": name,
+            "backend": tier,
+            "value": round(agg / num_streams, 2),
+            "unit": "frames/s per stream (lockstep)",
+            "vs_baseline": round(agg / num_streams / REFERENCE_FPS, 2),
+            "aggregate_fps": round(agg, 1),
+            "frames": num_frames,
+            "passes": passes,
+            "elapsed_s": round(elapsed, 4),
+            "global_frames": int(
+                np.asarray(host[:, :, O_GUSED] != 0.0).sum()
+            ) // passes,
+            "poisoned": int((host[:, :, O_POISON] != 0.0).sum()),
+            "occlusion_period": period,
+            "stagger": stagger,
+            **({"tier": "fast_2pass_bf16_hilo"} if tier == "mega_fast"
+               else {}),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    assert rows[0]["poisoned"] == 0 and rows[1]["poisoned"] == 0
+    assert rows[0]["global_frames"] > 0, "fixture never searched globally"
+    # Tier trajectory agreement (every pass).
+    np.testing.assert_array_equal(
+        host_h[:, :, O_BX : O_BX + 4], host_f[:, :, O_BX : O_BX + 4]
+    )
+
+    if scan_compare:
+        bb_mega = host_h[:, : num_frames, O_BX : O_BX + 4].astype(np.int32)
+        ug_mega = host_h[:, : num_frames, O_GUSED] != 0.0
+        del host_h, host_f
+        staged.clear()  # free the (S, C, H, W) mega staging first
+        step = make_multi_stream_step(
+            (height, width), (h, w), config, backend="pallas_shear"
+        )
+        scan_fn = make_masked_scan_fn(step, donate=False)
+        staged_scan = [
+            jax.device_put(
+                np.ascontiguousarray(
+                    videos[:, 1 + i : 1 + i + chunk_size].transpose(1, 0, 2, 3)
+                )
+            )
+            for i in range(0, num_frames, chunk_size)
+        ]
+        valid = jax.device_put(np.ones(chunk_size, bool))
+        jax.block_until_ready(staged_scan[-1])
+
+        from pvot.tracker.scan import _pack_outputs, fetch_outputs
+
+        def run_scan(fetch):
+            outs = []
+            for _ in range(passes):
+                st = states
+                for c in staged_scan:
+                    st, out = scan_fn(st, c, valid)
+                    outs.append(out)
+            dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+            return fetch_outputs(dev) if fetch else _pack_outputs(dev)
+
+        _ = run_scan(False)  # compile (process already in sync mode)
+        best_s, host_s = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            host_s = run_scan(True)
+            best_s = min(best_s, time.perf_counter() - t0)
+        agg_s = total / best_s
+        bb_scan = np.asarray(host_s.bbox)[: num_frames].transpose(1, 0, 2)
+        ug_scan = np.asarray(host_s.used_global)[: num_frames].T
+        traj_equal = bool(
+            np.array_equal(bb_mega, bb_scan)
+            and np.array_equal(ug_mega, ug_scan)
+        )
+        rows.append({
+            "config": name,
+            "backend": "pallas_shear",
+            "value": round(agg_s / num_streams, 2),
+            "unit": "frames/s per stream (lockstep)",
+            "vs_baseline": round(agg_s / num_streams / REFERENCE_FPS, 2),
+            "aggregate_fps": round(agg_s, 1),
+            "frames": num_frames,
+            "passes": passes,
+            "elapsed_s": round(best_s, 4),
+            "occlusion_period": period,
+            "stagger": stagger,
+            "traj_equal_mega": traj_equal,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+        assert traj_equal, "mega and scan serving trajectories diverged"
+    return rows
+
+
 def _bench_r160(name, **kw):
     """The r160 stress rows on the span-tiled mega kernel (round 4), with
     the round-3 behavior (scan auto engine) as the fallback when the mega
@@ -1150,6 +1357,22 @@ CONFIGS = {
             highest=False, score_passes=2,
         ),
     ],
+    # Round 5: the 1080p/160x160-template/r160 class — the one measured
+    # geometry the round-4 template envelope (th, tw <= 128) excluded;
+    # round 5 raised the envelope to 256 px a side.  Scan-engine fallback
+    # if the kernel is unavailable on the serving chip (round-3 standing:
+    # shear scan engine 1,304 FPS here).
+    "4t": lambda frames: [
+        _bench_r160(
+            "1080p_t160_r160", width=1920, height=1080, templ=160,
+            num_frames=min(frames, 256), chunk_size=64,
+        ),
+        _bench_r160(
+            "1080p_t160_r160_fast", width=1920, height=1080, templ=160,
+            num_frames=min(frames, 256), chunk_size=64,
+            highest=False, score_passes=2,
+        ),
+    ],
     "5": lambda frames: bench_multi_object(),
     # Multi-object on the multi-object mega kernel (grid (K, F), shared
     # frames) — the vmapped scan step (key 5) is the fallback path.
@@ -1203,6 +1426,14 @@ CONFIGS = {
     "8m": lambda frames: bench_multi_stream_mega(
         32, num_frames=128, chunk_size=16, passes=4, batch=4
     ),
+    # Round 5: streams x batch on the 2-PASS fast tier (the 7mf and 8m
+    # levers stacked — the serving-ceiling row).
+    "8mf": lambda frames: bench_multi_stream_mega(
+        32, num_frames=128, chunk_size=16, passes=4, batch=4,
+        highest=False, score_passes=2,
+    ),
+    # Round 5: grouped heterogeneous serving x batch-4 look-ahead cadence.
+    "7hb": lambda frames: bench_hetero_serving(batch=4),
     # Hand-written Pallas engine (--shared/--const/--const_tiled).
     "9": lambda frames: bench_pallas(),
     # Mode-flag comparison table (reference README.md:128-137 analog).
@@ -1220,6 +1451,19 @@ CONFIGS = {
     # Occlusion-heavy regime (round 4): poison-rate sweep, mega driver vs
     # scan engine on periodically-occluded clips; locates the crossover.
     "12": lambda frames: bench_occlusion(),
+    # Round 5: occlusion-heavy MULTI-STREAM serving (per-stream occlusion
+    # cycles through the (S, F) mega grid, staggered vs simultaneous,
+    # HIGHEST + fast tier + shear-scan crossover — one subprocess each).
+    "12m8s": lambda frames: bench_occlusion_serving(8, stagger=True),
+    "12m8c": lambda frames: bench_occlusion_serving(8, stagger=False),
+    "12m32s": lambda frames: bench_occlusion_serving(
+        32, stagger=True, num_frames=48, chunk_size=16, period=32,
+        occ_len=8, lost_threshold=6, passes=5,
+    ),
+    "12m32c": lambda frames: bench_occlusion_serving(
+        32, stagger=False, num_frames=48, chunk_size=16, period=32,
+        occ_len=8, lost_threshold=6, passes=5,
+    ),
     # Median-of-N fresh-process headline (round-4 VERDICT item 5): relay
     # session age swings single-process headline numbers up to +-40%
     # (docs/PERFORMANCE.md rule 4), so the repo's quoted headline is the

@@ -46,6 +46,10 @@ class SyntheticSpec:
     # mid-clip episode.
     occlusion_period: int = 0
     occlusion_len: int = 0
+    # Phase offset (frames) for the occlusion cycle — lets multi-stream
+    # fixtures STAGGER their occlusion windows (each stream a different
+    # phase) vs occluding simultaneously (all phase 0).
+    occlusion_phase: int = 0
 
 
 def target_center(spec: SyntheticSpec, frame_idx: int) -> Tuple[int, int]:
@@ -61,7 +65,7 @@ def target_center(spec: SyntheticSpec, frame_idx: int) -> Tuple[int, int]:
             # Park the target fully outside the right edge.
             cx = spec.width + spec.target_w
     if spec.occlusion_period:
-        phase = frame_idx % spec.occlusion_period
+        phase = (frame_idx + spec.occlusion_phase) % spec.occlusion_period
         if phase >= spec.occlusion_period - spec.occlusion_len:
             cx = spec.width + spec.target_w
     return cx, cy

@@ -146,17 +146,22 @@ class MegaGeometry:
         self.gx_strips = -(-self.out_w // self.stride_gx)
 
     def supported(self) -> bool:
-        """Round-4 envelope: spans up to 4 output tiles / 512 rows (the
-        blueprint's r160 stress configs run span 321), template within one
-        lane tile / 16 row groups.  Everything else stays on the scan
-        engines.  The span caps bound the kernel's VMEM working set (f32
-        slab + per-tile w/wsq/t1p slices) well under the chip's VMEM; the
+        """Round-5 envelope: spans up to 4 output tiles / 512 rows (the
+        blueprint's r160 stress configs run span 321), template up to
+        256 px a side (two lane tiles / 32 row groups — round 4 capped at
+        one lane tile / 16 row groups; the shear construct generalizes
+        because tile_lanes/m_lanes grow with tw and the strided tt roll's
+        shift range is TX, independent of tw — the analog of the
+        reference's const-mem 4096-px cap it outgrew,
+        baseline_kernel.cu:7,408).  Everything else stays on the scan
+        engines.  The caps bound the kernel's VMEM working set (f32 slab +
+        per-tile w/wsq/t1p slices) well under the chip's VMEM; the
         per-geometry compile+numerics probe remains the runtime gate."""
         return (
             self.span_x <= 4 * TX
             and self.ty <= 512
-            and self.th <= 128
-            and self.tw <= TX
+            and self.th <= 2 * TX
+            and self.tw <= 2 * TX
             and self.out_h_b >= self.span_y
             and self.out_w_b >= self.span_x
         )
@@ -189,36 +194,46 @@ def _mega_kernel(
     shared_frames: bool = False,
     batch: int = 1,
     inkernel_global: bool = False,
+    unroll: int = 1,
 ):
-    # multi=False: grid (F,) — one stream, scratch is the frame-loop carry.
-    # multi=True: grid (S, F), frame axis innermost — streams run back to
-    # back on the sequential grid, so ONE set of scratch state serves all
-    # streams: each stream re-initializes it at its own t == 0 and flushes
-    # its template at t == F-1 (the per-stream input/output blocks rotate
-    # via their (s, 0) index maps).
+    # multi=False: grid (F/unroll,) — one stream, scratch is the loop carry.
+    # multi=True: grid (S, F/unroll), frame axis innermost — streams run
+    # back to back on the sequential grid, so ONE set of scratch state
+    # serves all streams: each stream re-initializes it at its own step 0
+    # and flushes its template at the last step (the per-stream
+    # input/output blocks rotate via their (s, 0) index maps).
     # shared_frames (with multi): the MULTI-OBJECT layout — all K trackers
     # consume the SAME (F, H, W) clip, so the frame index drops the
     # stream stride; each object still DMAs its own search-window slab
     # (objects sit at different positions in the shared frame).
+    # unroll (round 5): process `unroll` consecutive frames per grid step
+    # (out block grows to (8*unroll, TX)).  The round-5 attribution ladder
+    # measured the sequential grid's PER-STEP floor at ~9.7 us — 56% of
+    # the whole 2-pass kernel (tools/mega_breakdown.py `empty` rung, zero
+    # work, no DMA); unrolling amortizes it.  The sub-frames run strictly
+    # sequentially (frame u+1 reads the scratch state frame u committed),
+    # so semantics are IDENTICAL to unroll=1 — the driver requires
+    # F % unroll == 0 and batch % ... the cadence mask uses the global
+    # frame index, so batch composes unchanged.
     if multi:
         s = pl.program_id(0)
-        num_t = pl.num_programs(1)
-        t = pl.program_id(1)
-        frame_idx = t if shared_frames else s * num_t + t
+        num_t = pl.num_programs(1) * unroll
+        step = pl.program_id(1)
+        num_steps = pl.num_programs(1)
+        sf0 = lambda i: sf0_ref[s, i]  # noqa: E731
+        si0 = lambda i: si0_ref[s, i]  # noqa: E731
         # Whole-array SMEM with a dynamic stream index: TPU lowering
         # rejects (1, 8) SMEM *blocks* (block dims must be divisible by
         # (8, 128) or equal the array), but scalar loads at a traced SMEM
         # index are fine.
-        sf0 = lambda i: sf0_ref[s, i]  # noqa: E731
-        si0 = lambda i: si0_ref[s, i]  # noqa: E731
     else:
-        t = pl.program_id(0)
-        num_t = pl.num_programs(0)
-        frame_idx = t
+        step = pl.program_id(0)
+        num_steps = pl.num_programs(0)
+        num_t = num_steps * unroll
         sf0 = lambda i: sf0_ref[i]  # noqa: E731
         si0 = lambda i: si0_ref[i]  # noqa: E731
 
-    @pl.when(t == 0)
+    @pl.when(step == 0)
     def _():
         tpl_ref[:, :] = tpl0_ref[:, :]
         sf_ref[0] = sf0(0)
@@ -229,60 +244,72 @@ def _mega_kernel(
         si_ref[6] = 0  # poison
         si_ref[7] = 0
 
-    bx, by = si_ref[0], si_ref[1]
-    bw, bh = si_ref[2], si_ref[3]
-    lost, useg = si_ref[4], si_ref[5]
-    poisoned = si_ref[6]
     n_valid = si0(6)
 
-    if batch > 1:
-        # Batch (look-ahead) semantics, C10 / main.cpp:362-392: only the
-        # LAST frame of each full batch is scored+committed; the others
-        # emit the pre-batch bbox with score -1 and touch no state.  The
-        # driver guarantees chunk_size % batch == 0 (cadence is relative
-        # to chunk start) and passes n_full = (n_valid // batch) * batch
-        # in si0 slot 7 (Mosaic rejects in-kernel division, so the
-        # power-of-two cadence test is a mask and the full-batch bound is
-        # precomputed on the host).  Frames past n_full are the
-        # reference's end-of-video partial batch (leftover_tail).
-        score_this = ((t & (batch - 1)) == (batch - 1)) & (t < si0(7))
-    else:
-        score_this = None
+    for u in range(unroll):  # static unroll; u=0 is the classic kernel
+        t = step * unroll + u
+        if multi:
+            frame_idx = t if shared_frames else s * num_t + t
+        else:
+            frame_idx = t
+        # Re-read state AFTER the previous sub-frame's commit.
+        bx, by = si_ref[0], si_ref[1]
+        bw, bh = si_ref[2], si_ref[3]
+        lost, useg = si_ref[4], si_ref[5]
+        poisoned = si_ref[6]
 
-    def scored_frame():
-        _scored_frame_body(
-            frames_hbm, box_ref, out_ref, slab_ref, tpl_ref, sf_ref, si_ref,
-            sem, g=g, config=config, highest=highest,
-            score_passes=score_passes, t=t, frame_idx=frame_idx,
-            bx=bx, by=by, bw=bw, bh=bh, lost=lost, useg=useg,
-            poisoned=poisoned, n_valid=n_valid,
-            inkernel_global=inkernel_global,
-        )
+        if batch > 1:
+            # Batch (look-ahead) semantics, C10 / main.cpp:362-392: only
+            # the LAST frame of each full batch is scored+committed; the
+            # others emit the pre-batch bbox with score -1 and touch no
+            # state.  The driver guarantees chunk_size % batch == 0
+            # (cadence is relative to chunk start) and passes
+            # n_full = (n_valid // batch) * batch in si0 slot 7 (Mosaic
+            # rejects in-kernel division, so the power-of-two cadence
+            # test is a mask and the full-batch bound is precomputed on
+            # the host).  Frames past n_full are the reference's
+            # end-of-video partial batch (leftover_tail).
+            score_this = ((t & (batch - 1)) == (batch - 1)) & (t < si0(7))
+        else:
+            score_this = None
 
-    if batch == 1:
-        scored_frame()
-    else:
-        pl.when(score_this)(scored_frame)
-
-        @pl.when(jnp.logical_not(score_this))
-        def _():
-            # Look-ahead row: current (pre-batch) state, no score, no
-            # update; poison stays sticky so the driver still sees it on
-            # every row of a poisoned chunk's tail.
-            lane = lax.broadcasted_iota(jnp.int32, (8, TX), 1)
-            f32 = jnp.float32
-            out_ref[:, :] = (
-                jnp.where(lane == O_BX, bx.astype(f32), 0.0)
-                + jnp.where(lane == O_BY, by.astype(f32), 0.0)
-                + jnp.where(lane == O_BW, bw.astype(f32), 0.0)
-                + jnp.where(lane == O_BH, bh.astype(f32), 0.0)
-                + jnp.where(lane == O_SCORE, f32(-1.0), 0.0)
-                + jnp.where(lane == O_POISON, poisoned.astype(f32), 0.0)
-                + jnp.where(lane == O_LOST, lost.astype(f32), 0.0)
-                + jnp.where(lane == O_USEG, useg.astype(f32), 0.0)
+        def scored_frame(t=t, frame_idx=frame_idx, bx=bx, by=by, bw=bw,
+                         bh=bh, lost=lost, useg=useg, poisoned=poisoned,
+                         u=u):
+            _scored_frame_body(
+                frames_hbm, box_ref, out_ref, slab_ref, tpl_ref, sf_ref,
+                si_ref, sem, g=g, config=config, highest=highest,
+                score_passes=score_passes, t=t, frame_idx=frame_idx,
+                bx=bx, by=by, bw=bw, bh=bh, lost=lost, useg=useg,
+                poisoned=poisoned, n_valid=n_valid,
+                inkernel_global=inkernel_global, out_row=8 * u,
             )
 
-    @pl.when(t == num_t - 1)
+        if batch == 1:
+            scored_frame()
+        else:
+            pl.when(score_this)(scored_frame)
+
+            @pl.when(jnp.logical_not(score_this))
+            def _(bx=bx, by=by, bw=bw, bh=bh, lost=lost, useg=useg,
+                  poisoned=poisoned, u=u):
+                # Look-ahead row: current (pre-batch) state, no score, no
+                # update; poison stays sticky so the driver still sees it
+                # on every row of a poisoned chunk's tail.
+                lane = lax.broadcasted_iota(jnp.int32, (8, TX), 1)
+                f32 = jnp.float32
+                out_ref[pl.ds(8 * u, 8), :] = (
+                    jnp.where(lane == O_BX, bx.astype(f32), 0.0)
+                    + jnp.where(lane == O_BY, by.astype(f32), 0.0)
+                    + jnp.where(lane == O_BW, bw.astype(f32), 0.0)
+                    + jnp.where(lane == O_BH, bh.astype(f32), 0.0)
+                    + jnp.where(lane == O_SCORE, f32(-1.0), 0.0)
+                    + jnp.where(lane == O_POISON, poisoned.astype(f32), 0.0)
+                    + jnp.where(lane == O_LOST, lost.astype(f32), 0.0)
+                    + jnp.where(lane == O_USEG, useg.astype(f32), 0.0)
+                )
+
+    @pl.when(step == num_steps - 1)
     def _():
         tplout_ref[:, :] = tpl_ref[:, :]
 
@@ -446,7 +473,7 @@ def _scored_frame_body(
     frames_hbm, box_ref, out_ref, slab_ref, tpl_ref, sf_ref, si_ref, sem,
     *, g, config, highest, score_passes, t, frame_idx,
     bx, by, bw, bh, lost, useg, poisoned, n_valid,
-    inkernel_global=False,
+    inkernel_global=False, out_row=0,
 ):
     """One scored frame: mode selection, slab DMA, shear NCC, masked
     argmax, confidence gate + bbox commit, template EMA, record emit.
@@ -754,14 +781,14 @@ def _scored_frame_body(
         outvec = outvec + jnp.where(
             lane == O_GUSED, jnp.asarray(do_global).astype(f32), 0.0
         )
-    out_ref[:, :] = outvec
+    out_ref[pl.ds(out_row, 8), :] = outvec
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
-        "score_passes", "batch", "inkernel_global",
+        "score_passes", "batch", "inkernel_global", "unroll",
     ),
 )
 def mega_track_chunk(
@@ -781,6 +808,7 @@ def mega_track_chunk(
     score_passes: int = 3,
     batch: int = 1,
     inkernel_global: bool = False,
+    unroll: int = 1,
 ):
     """Run one chunk through the mega-kernel.
 
@@ -803,11 +831,20 @@ def mega_track_chunk(
     batch-th frame is scored+committed, the rest emit the pre-batch bbox
     with score -1 at zero marginal cost (no slab DMA, no score loop).
     The caller must slice chunks at batch boundaries.
+
+    unroll > 1 (round 5) processes that many consecutive frames per grid
+    step, amortizing the sequential grid's measured ~9.7 us/frame
+    per-step floor (tools/mega_breakdown.py round-5 ladder) — semantics
+    identical (sub-frames run in order against the same scratch state).
+    Requires F % unroll == 0 (the drivers pad chunks to chunk_size, so
+    pick unroll dividing chunk_size).
     """
     if batch < 1 or (batch & (batch - 1)):
         raise ValueError(f"mega batch must be a power of two, got {batch}")
     g = MegaGeometry(frame_shape, templ_shape, config)
     f = frames_u8.shape[0]
+    if unroll < 1 or f % unroll:
+        raise ValueError(f"unroll {unroll} must divide the chunk length {f}")
     if frames_u8.shape[1:] == (g.pad_h, g.pad_w):
         framesp = frames_u8
     else:
@@ -847,7 +884,7 @@ def mega_track_chunk(
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
         score_passes=score_passes, batch=batch,
-        inkernel_global=inkernel_global,
+        inkernel_global=inkernel_global, unroll=unroll,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5  # u8 slab + one f32 copy
@@ -858,7 +895,7 @@ def mega_track_chunk(
     )
     rows, tplout = pl.pallas_call(
         kernel,
-        grid=(f,),
+        grid=(f // unroll,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -867,7 +904,9 @@ def mega_track_chunk(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((8, TX), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8 * unroll, TX), lambda t: (t, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (g.rows8, g.m_lanes), lambda t: (0, 0),
                 memory_space=pltpu.VMEM,
@@ -895,7 +934,7 @@ def mega_track_chunk(
     jax.jit,
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
-        "score_passes", "batch", "inkernel_global",
+        "score_passes", "batch", "inkernel_global", "unroll",
     ),
 )
 def mega_track_chunk_multi(
@@ -915,6 +954,7 @@ def mega_track_chunk_multi(
     score_passes: int = 3,
     batch: int = 1,
     inkernel_global: bool = False,
+    unroll: int = 1,
 ):
     """S independent streams through ONE pallas_call: grid (S, F), frame
     axis innermost, so stream s's frames run back to back and the kernel's
@@ -933,6 +973,8 @@ def mega_track_chunk_multi(
     """
     g = MegaGeometry(frame_shape, templ_shape, config)
     s_streams, f = frames_u8.shape[:2]
+    if unroll < 1 or f % unroll:
+        raise ValueError(f"unroll {unroll} must divide the chunk length {f}")
     if frames_u8.shape[2:] == (g.pad_h, g.pad_w):
         framesp = frames_u8.reshape(s_streams * f, g.pad_h, g.pad_w)
     else:
@@ -977,7 +1019,7 @@ def mega_track_chunk_multi(
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
         score_passes=score_passes, multi=True, batch=batch,
-        inkernel_global=inkernel_global,
+        inkernel_global=inkernel_global, unroll=unroll,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5
@@ -988,7 +1030,7 @@ def mega_track_chunk_multi(
     )
     rows, tplout = pl.pallas_call(
         kernel,
-        grid=(s_streams, f),
+        grid=(s_streams, f // unroll),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
@@ -1004,7 +1046,8 @@ def mega_track_chunk_multi(
         ],
         out_specs=(
             pl.BlockSpec(
-                (8, TX), lambda s, t, _f=f: (s * _f + t, 0),
+                (8 * unroll, TX),
+                lambda s, t, _fs=f // unroll: (s * _fs + t, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -1038,6 +1081,7 @@ def mega_track_chunk_multi(
     static_argnames=(
         "frame_shape", "templ_shape", "config", "interpret", "highest",
         "score_passes", "batch", "inkernel_global", "bucket_extents",
+        "unroll",
     ),
 )
 def mega_track_chunk_objects(
@@ -1058,6 +1102,7 @@ def mega_track_chunk_objects(
     batch: int = 1,
     inkernel_global: bool = False,
     bucket_extents: Tuple[Tuple[int, int], ...] = None,
+    unroll: int = 1,
 ):
     """K independent trackers over ONE shared clip in ONE pallas_call —
     the MULTI-OBJECT mega path (the reference's never-implemented 150%
@@ -1154,10 +1199,12 @@ def mega_track_chunk_objects(
             (g.tile_lanes, TX), lambda k, t: (k, 0),
             memory_space=pltpu.VMEM,
         )
+    if unroll < 1 or f % unroll:
+        raise ValueError(f"unroll {unroll} must divide the chunk length {f}")
     kernel = functools.partial(
         _mega_kernel, g=g, config=config, highest=highest,
         score_passes=score_passes, multi=True, shared_frames=True,
-        batch=batch, inkernel_global=inkernel_global,
+        batch=batch, inkernel_global=inkernel_global, unroll=unroll,
     )
     vmem_budget = (
         g.slab_h * g.slab_w * 5
@@ -1168,7 +1215,7 @@ def mega_track_chunk_objects(
     )
     rows, tplout = pl.pallas_call(
         kernel,
-        grid=(k_objects, f),
+        grid=(k_objects, f // unroll),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
@@ -1181,7 +1228,8 @@ def mega_track_chunk_objects(
         ],
         out_specs=(
             pl.BlockSpec(
-                (8, TX), lambda k, t, _f=f: (k * _f + t, 0),
+                (8 * unroll, TX),
+                lambda k, t, _fs=f // unroll: (k * _fs + t, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

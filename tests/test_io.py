@@ -73,6 +73,15 @@ def test_synthetic_periodic_occlusion():
     assert target_bbox(spec, 0)[0] < spec.width
     frames = generate_gray_video(spec)
     assert frames.shape == (32, 120, 160)
+    # occlusion_phase offsets the cycle (staggered multi-stream fixtures):
+    # frame i with phase p occludes exactly when frame i+p would unphased.
+    spec_p = SyntheticSpec(
+        width=160, height=120, num_frames=32, target_w=24, target_h=24,
+        occlusion_period=8, occlusion_len=3, occlusion_phase=4,
+    )
+    for i in range(spec_p.num_frames):
+        outside = target_bbox(spec_p, i)[0] >= spec_p.width
+        assert outside == ((i + 4) % 8 >= 5), i
 
 
 def test_video_write_read_roundtrip(tmp_path):

@@ -353,6 +353,129 @@ def test_mega_span_tiled_multi_and_objects():
         )
 
 
+def test_mega_large_template_matches_scan_path():
+    """Round 5: template WIDTH past one lane tile (tw > TX=128 — the
+    structurally new envelope: tile_lanes grows past 2 lane tiles and the
+    shear tt roll/correlation reads span it) runs the same kernel.
+    Trajectory must equal the scan path's.  (th > 128 is only more
+    unrolled k-blocks — interpret mode at 17 blocks times out on CPU, so
+    the 160x160 geometry class is validated ON CHIP by the per-geometry
+    probe + the engine A/B row; here the static envelope is asserted.)"""
+    spec = SyntheticSpec(
+        width=200, height=120, num_frames=8, target_w=136, target_h=48,
+        seed=11, noise_std=1.0, amplitude=0.25,
+    )
+    config = TrackerConfig(search_radius_x=8, search_radius_y=8)
+    g = MegaGeometry((120, 200), (48, 136), config)
+    assert g.supported() and g.tw > 128 and g.tile_lanes > 2 * 128
+    # The VERDICT target geometry class is admitted by the static envelope
+    # (the runtime gate stays the per-geometry compile+numerics probe).
+    assert MegaGeometry((1080, 1920), (160, 160),
+                        TrackerConfig(search_radius_x=160,
+                                      search_radius_y=160)).supported()
+    frames, state = _setup(spec)
+    want_state, want = track_video(
+        frames[1:], state, config, strategy="fused", backend="xla",
+        chunk_size=4,
+    )
+    got_state, got = track_video_mega(
+        frames[1:], state, config, chunk_size=4, scan_backend="xla",
+        interpret=True,
+    )
+    np.testing.assert_array_equal(want.bbox, got.bbox)
+    np.testing.assert_array_equal(want.updated, got.updated)
+    # 48x136 windows fold 6.5k terms: f32 accumulation-order noise between
+    # the shear kernel and the matmul engine grows with the window.
+    np.testing.assert_allclose(want.score, got.score, atol=1e-4)
+    assert int(got_state.bbox_x) == int(want_state.bbox_x)
+    assert int(got_state.bbox_y) == int(want_state.bbox_y)
+
+
+def test_mega_unroll_matches_unroll1():
+    """Round 5: unroll=4 (four frames per sequential grid step — the
+    per-step-floor amortization lever) must be BIT-IDENTICAL to unroll=1
+    in records and final template: sub-frames run in order against the
+    same scratch state, so only the grid bookkeeping changes.  Also
+    composes with the in-kernel batch cadence (the mask uses the global
+    frame index)."""
+    import jax.numpy as jnp
+
+    from pvot.ops.ncc_mega import mega_track_chunk
+    from pvot.ops.ncc_reference import template_stats
+
+    frames, state = _setup(SPEC)
+    chunk = jnp.asarray(frames[1:13])  # 12 frames: divisible by 4
+    t_mean, t_std = template_stats(state.template)
+    args = (
+        chunk,
+        jnp.stack(state.bbox).astype(jnp.int32),
+        state.template, t_mean, t_std,
+        jnp.int32(0), jnp.int32(0), jnp.int32(12),
+    )
+    kw = dict(
+        frame_shape=(94, 250), templ_shape=(16, 16), config=CONFIG,
+        interpret=True,
+    )
+    # Variant list kept lean: the 4x-unrolled body makes interpret-mode
+    # XLA compiles expensive (unroll=4 plain 53 s; with the in-kernel
+    # global strip grid 197 s — measured round 5), and ikg/fast-tier are
+    # structurally identical w.r.t. the unroll loop (same factored body).
+    for extra in (
+        {},
+        {"batch": 4},
+    ):
+        rows1, tpl1 = mega_track_chunk(*args, **kw, **extra)
+        rows4, tpl4 = mega_track_chunk(*args, **kw, unroll=4, **extra)
+        np.testing.assert_array_equal(
+            np.asarray(rows1), np.asarray(rows4), err_msg=str(extra)
+        )
+        np.testing.assert_array_equal(np.asarray(tpl1), np.asarray(tpl4))
+    with pytest.raises(ValueError):
+        mega_track_chunk(*args, **kw, unroll=5)  # 5 does not divide 12
+
+
+def test_mega_unroll_multi_and_objects():
+    """unroll composes with the multi-stream and multi-object grids."""
+    import jax
+
+    from pvot.ops.ncc_mega import (
+        mega_track_chunk_multi,
+        mega_track_chunk_objects,
+    )
+    from pvot.ops.ncc_reference import template_stats
+
+    frames, state = _setup(SPEC)
+    chunk = jnp.asarray(frames[1:9])  # 8 frames
+    t_mean, t_std = template_stats(state.template)
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[state, state]
+    )
+    margs = (
+        jnp.stack([chunk, chunk]),
+        jnp.stack([jnp.stack(state.bbox)] * 2).astype(jnp.int32),
+        stacked.template,
+        jnp.stack([t_mean] * 2), jnp.stack([t_std] * 2),
+        jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
+        jnp.full(2, 8, jnp.int32),
+    )
+    kw = dict(
+        frame_shape=(94, 250), templ_shape=(16, 16), config=CONFIG,
+        interpret=True,
+    )
+    # unroll=2 (not 4): same loop structure, half the traced body — the
+    # interpret-mode XLA compile scales with the unrolled body size.
+    r1, t1 = mega_track_chunk_multi(*margs, **kw)
+    r2, t2 = mega_track_chunk_multi(*margs, **kw, unroll=2)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    oargs = (chunk,) + margs[1:]
+    r1, t1 = mega_track_chunk_objects(*oargs, **kw)
+    r2, t2 = mega_track_chunk_objects(*oargs, **kw, unroll=2)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
 def test_mega_geometry_fallback():
     """Spans beyond the round-4 envelope (4 output tiles) fall back to the
     scan path wholesale."""

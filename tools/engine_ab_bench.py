@@ -75,18 +75,51 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
         # Round-3c: operator-free shear kernel (strided-roll Toeplitz in
         # registers; no operator build, no operator DMA) at full HIGHEST.
         "pallas_shear_fused": ("pallas_shear", True),
+        # Round-5: the mega kernel as an A/B engine (whole chunk in one
+        # pallas_call) — for envelope-extension rows like 1080p/t160/r160
+        # where the VERDICT target is beating the shear scan engine.
+        "mega": ("mega", True),
+        "mega_fast": ("mega", False),  # 2-pass bf16 hi/lo tier
     }
     wanted = all_engines if engines == "all" else {
         k: all_engines[k] for k in engines.split(",")
     }
-    scan_fns = {k: build(b, f) for k, (b, f) in wanted.items()}
+    scan_fns = {
+        k: build(b, f) for k, (b, f) in wanted.items() if b != "mega"
+    }
 
     chunks = [jax.device_put(frames[1 + i : 1 + i + chunk_size])
               for i in range(0, max_frames, chunk_size)]
     valid = jax.device_put(np.ones(chunk_size, bool))
     jax.block_until_ready(chunks[-1])
 
+    mega_runners = {}
+    if any(b == "mega" for b, _ in wanted.values()):
+        from bench import _make_mega_runner
+        from pvot.ops.ncc_mega import MegaGeometry
+
+        g = MegaGeometry((height, width), (templ, templ), config)
+        assert g.supported(), "geometry outside the mega envelope"
+        padded = np.zeros((max_frames, g.pad_h, g.pad_w), np.uint8)
+        padded[:, :height, :width] = frames[1 : 1 + max_frames]
+        mchunks = [
+            jax.device_put(padded[i : i + chunk_size])
+            for i in range(0, max_frames, chunk_size)
+        ]
+        jax.block_until_ready(mchunks[-1])
+        del padded
+        for k, (b, highest) in wanted.items():
+            if b != "mega":
+                continue
+            mega_runners[k] = _make_mega_runner(
+                mchunks, state0, (height, width), (templ, templ),
+                chunk_size, config, highest=highest, passes=1,
+                score_passes=2,
+            )
+
     def run(name, fetch=True):
+        if name in mega_runners:
+            return mega_runners[name][0](fetch=fetch)
         st = state0
         outs = []
         for c in chunks:
@@ -95,7 +128,7 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
         dev = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         return fetch_outputs(dev) if fetch else _pack_outputs(dev)
 
-    for name in scan_fns:
+    for name in wanted:
         run(name, fetch=False)
         print(f"compiled {name}", flush=True)
     flip = jax.jit(lambda a: a @ a)(jnp.eye(128, dtype=jnp.float32))
@@ -104,17 +137,21 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
     _ = np.asarray(flip)
 
     results, trajs = {}, {}
-    for name in scan_fns:
+    for name in wanted:
         elapsed = float("inf")
         host = None
         for _trial in range(2):
             t0 = time.perf_counter()
             host = run(name)
             elapsed = min(elapsed, time.perf_counter() - t0)
+        if name in mega_runners:
+            bboxes, _upd, _extras = mega_runners[name][2](host)
+        else:
+            bboxes = np.asarray(host.bbox)
         errs = [abs(int(b[0]) - target_bbox(spec, i + 1)[0])
                 + abs(int(b[1]) - target_bbox(spec, i + 1)[1])
-                for i, b in enumerate(np.asarray(host.bbox))]
-        trajs[name] = np.asarray(host.bbox)
+                for i, b in enumerate(bboxes)]
+        trajs[name] = np.asarray(bboxes)
         results[name] = {
             "fps": round(max_frames / elapsed, 1),
             "us_per_frame": round(elapsed / max_frames * 1e6, 2),
@@ -123,7 +160,7 @@ def main(width: int = 1280, height: int = 720, templ: int = 80,
         print(json.dumps({name: results[name]}), flush=True)
 
     ref_name = next(iter(trajs))
-    for name in scan_fns:
+    for name in wanted:
         results[name][f"traj_equal_vs_{ref_name}"] = bool(
             (trajs[name] == trajs[ref_name]).all()
         )
