@@ -76,14 +76,16 @@ def run_bench(
     #     ground-truth check below is the guard; all reference-parity
     #     tracking modes keep HIGHEST).
     mega_highest: bool = False,
-    # Fast-tier MXU pass count (round-4 on-chip A/B, tools/mega_fast_ab.py
-    # /tmp/mfab_r4.log, 2048 frames in-process, all 0 px and trajectory
-    # BIT-EQUAL to the HIGHEST kernel on this clip: HIGHEST 46.8 us/frame,
-    # 3-pass 38.7, 2-pass 32.5 — the 2-pass tier drops the wl@tth term,
-    # whose operand carries only the u8/255 quantization residue).  Like
-    # every fast engine, trajectory identity is a measured per-clip
-    # property; THIS run's ground-truth check below is the guard.
-    mega_score_passes: int = 2,
+    # Fast-tier MXU pass count (round-5 on-chip A/B, tools/mega_fast_ab.py
+    # /tmp/mega_fab_r5.log, 2048 frames in-process, all 0 px and
+    # trajectory BIT-EQUAL to the HIGHEST kernel on this clip: HIGHEST
+    # 50.4 us/frame, 3-pass 40.3, 2-pass 37.4, 1-pass 33.6 — the 1-pass
+    # tier runs the correlation as ONE plain bf16 MXU pass; ~1e-3 score
+    # perturbation).  Like every fast engine, trajectory identity is a
+    # measured per-clip property; THIS run's ground-truth check below is
+    # the guard.  Modes whose confidence thresholds do real work
+    # (occlusion serving, parity modes) keep 2-pass/HIGHEST.
+    mega_score_passes: int = 1,
     # Timed passes over the staged clip.  Staging is HBM-bound (~2 GB of
     # pre-padded 720p uint8 at 2048 frames — the relay chip's safe limit),
     # so the run's fixed dispatch+fetch cost is amortized by re-tracking

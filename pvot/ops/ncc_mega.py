@@ -381,14 +381,17 @@ def _shear_score_tiles(
         valid8 = ((8 * k + row8) < th_e) & (col8 < tw_e)
         t8 = jnp.where(valid8, tpl_ref[pl.ds(8 * k, 8), :] - t_mean, 0.0)
         if not highest:
-            # Fast tier: 3-pass bf16 hi/lo decomposition of the shear
-            # dot (the in-kernel precision=HIGH analog, same structure
-            # as ncc_pallas._dot_hl3; hi/lo commutes with the roll, so
-            # the roll stays f32 and the split happens on the rolled
-            # value — keeping the RHS a VALUE, the shear precision
-            # caution).
+            # Fast tier: bf16 hi/lo decomposition of the shear dot (the
+            # in-kernel precision=HIGH analog, same structure as
+            # ncc_pallas._dot_hl3; hi/lo commutes with the roll, so the
+            # roll stays f32 and the split happens on the rolled value —
+            # keeping the RHS a VALUE, the shear precision caution).
+            # score_passes: 3 = wh@tth + wh@ttl + wl@tth; 2 drops wl@tth
+            # (round 4); 1 = wh@tth only (round 5 — BOTH operands plain
+            # bf16; ~1e-3 score perturbation, adopted strictly under the
+            # per-run trajectory guard like every tier).
             wh = w.astype(jnp.bfloat16)
-            if score_passes != 2:
+            if score_passes == 3:
                 wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
         for p in range(8):
             if 8 * k + p >= th:
@@ -406,7 +409,10 @@ def _shear_score_tiles(
             else:
                 tv = tt[:, :tile_lanes]
                 tth = tv.astype(jnp.bfloat16)
-                ttl = (tv - tth.astype(jnp.float32)).astype(jnp.bfloat16)
+                if score_passes > 1:
+                    ttl = (tv - tth.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
 
                 def d1(a_, b_):
                     return lax.dot_general(
@@ -415,7 +421,11 @@ def _shear_score_tiles(
                         preferred_element_type=jnp.float32,
                     )
 
-                if score_passes == 2:
+                if score_passes == 1:
+                    # 1-pass tier (round 5): plain bf16 x bf16 — template
+                    # low half dropped too (~1e-3 score perturbation).
+                    t1p = d1(wh, tth)
+                elif score_passes == 2:
                     # 2-pass tier (round 4): drop the wl@tth term — the
                     # window becomes effectively bf16 (its low half carries
                     # only the u8/255-quantization residue, |wl| <= 2^-9),
@@ -458,6 +468,19 @@ def _shear_score_tiles(
         cov = acc_l[xt] - mean * sum_tc
         s_l.append(cov / ((std + 1e-6) * (t_std_in + 1e-6) * n_e))
     return s_l
+
+
+def _vmem_slack(g: MegaGeometry) -> int:
+    """Scoped-VMEM slack for the mega kernels' compiler temporaries.
+
+    The statically-unrolled score loop's liveness grows with span tiles
+    and k-blocks: the flat 24 MB that served every round-4 geometry left
+    the 1080p/t160/r160 kernel 16.6 MB short at compile ("Scoped
+    allocation with size 51.58M and limit 34.99M exceeded", round-5
+    compile log) — the budget is a CAP, so over-provisioning is safe and
+    the per-geometry probe remains the runtime gate."""
+    mb = 24 + 24 * (g.nx - 1) + (16 if g.k_blocks > 16 else 0)
+    return min(mb, 100) * 1024 * 1024
 
 
 def _lex_better(val_t, ay_t, ax_t, bval, bay, bax):
@@ -891,7 +914,7 @@ def mega_track_chunk(
         + 4 * 3 * g.rows8 * g.m_lanes  # template scratch/in/out + centered
         + 4 * g.tile_lanes * TX
         + 4 * (g.ty + 8) * g.m_lanes * 4 * g.nx  # w/wsq/t1p working set
-        + 24 * 1024 * 1024  # acc/bsum/bsq + rolled slab copies + slack
+        + _vmem_slack(g)  # acc/bsum/bsq + rolled slab copies + slack
     )
     rows, tplout = pl.pallas_call(
         kernel,
@@ -1026,7 +1049,7 @@ def mega_track_chunk_multi(
         + 4 * 6 * g.rows8 * g.m_lanes  # double-buffered tpl in/out + scratch
         + 4 * g.tile_lanes * TX
         + 4 * (g.ty + 8) * g.m_lanes * 4 * g.nx
-        + 24 * 1024 * 1024
+        + _vmem_slack(g)
     )
     rows, tplout = pl.pallas_call(
         kernel,
@@ -1211,7 +1234,7 @@ def mega_track_chunk_objects(
         + 4 * 6 * g.rows8 * g.m_lanes
         + 4 * g.tile_lanes * TX
         + 4 * (g.ty + 8) * g.m_lanes * 4 * g.nx
-        + 24 * 1024 * 1024
+        + _vmem_slack(g)
     )
     rows, tplout = pl.pallas_call(
         kernel,

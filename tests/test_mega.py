@@ -536,6 +536,19 @@ def test_mega_fast_tier_and_prepad():
     # the real guards are bbox bit-equality above and the on-chip
     # ground-truth check per run.
     assert drift2 < 4e-3, drift2
+    # 1-pass tier (round 5): plain bf16 x bf16 — template low half dropped
+    # too; trajectory must still match on the fixture (the on-chip
+    # per-run ground-truth check remains the adoption guard).
+    rows_f1, _ = mega_track_chunk(
+        jnp.asarray(frames[1:9]), *args, highest=False, score_passes=1, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rows_hi[:, :4]), np.asarray(rows_f1[:, :4])
+    )
+    drift1 = float(np.max(np.abs(
+        np.asarray(rows_hi[:, 4]) - np.asarray(rows_f1[:, 4])
+    )))
+    assert drift1 < 2e-2, drift1
     g = MegaGeometry((94, 250), (16, 16), CONFIG)
     prepad = np.zeros((8, g.pad_h, g.pad_w), np.uint8)
     prepad[:, :94, :250] = frames[1:9]

@@ -98,6 +98,10 @@ def main(width=1280, height=720, templ=80, chunk=512, frames_total=2048):
         # bf16, template hi+lo); adopt only if the trajectory stays
         # bit-equal here AND on the fuzz seeds.
         "mega_fast2_prepad": make_run(False, score_passes=2),
+        # round 5: 1-pass tier — plain bf16 x bf16 correlation (template
+        # low half dropped too); ~1e-3 score perturbation, adopted only
+        # under the trajectory guard.
+        "mega_fast1_prepad": make_run(False, score_passes=1),
     }
     for name, run in runs.items():
         run(fetch=False)
