@@ -471,7 +471,10 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
         "poisoned": int((host[:, :, O_POISON] != 0.0).sum()),
         **(
             {} if highest
-            else {"tier": f"fast_{score_passes}pass_bf16_hilo"}
+            else {"tier": (
+                "fast_1pass_bf16" if score_passes == 1
+                else f"fast_{score_passes}pass_bf16_hilo"
+            )}
         ),
     }
 
@@ -748,7 +751,10 @@ def bench_mega(name="mega_720p", *, width=1280, height=720, templ=80,
         "max_l1_err_px": int(max(errs)),
         **(
             {} if highest
-            else {"tier": f"fast_{score_passes}pass_bf16_hilo"}
+            else {"tier": (
+                "fast_1pass_bf16" if score_passes == 1
+                else f"fast_{score_passes}pass_bf16_hilo"
+            )}
         ),
         **extras,
     }
@@ -779,7 +785,8 @@ def bench_stream_sweep(sizes=(8, 16, 32, 64), backend="fast"):
         frames, chunk, passes = plans.get(s, (64, 8, 8))
         if backend in ("mega", "mega_fast"):
             # The fast tier matches the bench.py headline default
-            # (2-pass bf16 hi/lo; every pass ground-truth-checked).
+            # (since round 5 the 1-pass plain-bf16 score dot; every pass
+            # ground-truth-checked).
             out.append(bench_multi_stream_mega(
                 s, num_frames=frames, chunk_size=chunk,
                 highest=(backend == "mega"), passes=passes,

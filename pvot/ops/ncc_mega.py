@@ -213,8 +213,9 @@ def _mega_kernel(
     # work, no DMA); unrolling amortizes it.  The sub-frames run strictly
     # sequentially (frame u+1 reads the scratch state frame u committed),
     # so semantics are IDENTICAL to unroll=1 — the driver requires
-    # F % unroll == 0 and batch % ... the cadence mask uses the global
-    # frame index, so batch composes unchanged.
+    # F % unroll == 0; the batch cadence mask uses the GLOBAL frame index
+    # t = step*unroll + u, so batch composes unchanged (chunks are already
+    # sliced at batch boundaries by the drivers).
     if multi:
         s = pl.program_id(0)
         num_t = pl.num_programs(1) * unroll
@@ -864,6 +865,8 @@ def mega_track_chunk(
     """
     if batch < 1 or (batch & (batch - 1)):
         raise ValueError(f"mega batch must be a power of two, got {batch}")
+    if score_passes not in (1, 2, 3):
+        raise ValueError(f"score_passes must be 1, 2 or 3, got {score_passes}")
     g = MegaGeometry(frame_shape, templ_shape, config)
     f = frames_u8.shape[0]
     if unroll < 1 or f % unroll:
@@ -996,6 +999,8 @@ def mega_track_chunk_multi(
     """
     g = MegaGeometry(frame_shape, templ_shape, config)
     s_streams, f = frames_u8.shape[:2]
+    if score_passes not in (1, 2, 3):
+        raise ValueError(f"score_passes must be 1, 2 or 3, got {score_passes}")
     if unroll < 1 or f % unroll:
         raise ValueError(f"unroll {unroll} must divide the chunk length {f}")
     if frames_u8.shape[2:] == (g.pad_h, g.pad_w):
@@ -1222,6 +1227,8 @@ def mega_track_chunk_objects(
             (g.tile_lanes, TX), lambda k, t: (k, 0),
             memory_space=pltpu.VMEM,
         )
+    if score_passes not in (1, 2, 3):
+        raise ValueError(f"score_passes must be 1, 2 or 3, got {score_passes}")
     if unroll < 1 or f % unroll:
         raise ValueError(f"unroll {unroll} must divide the chunk length {f}")
     kernel = functools.partial(

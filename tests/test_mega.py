@@ -549,6 +549,11 @@ def test_mega_fast_tier_and_prepad():
         np.asarray(rows_hi[:, 4]) - np.asarray(rows_f1[:, 4])
     )))
     assert drift1 < 2e-2, drift1
+    with pytest.raises(ValueError):  # out-of-range tier fails loudly
+        mega_track_chunk(
+            jnp.asarray(frames[1:9]), *args, highest=False,
+            score_passes=4, **kw
+        )
     g = MegaGeometry((94, 250), (16, 16), CONFIG)
     prepad = np.zeros((8, g.pad_h, g.pad_w), np.uint8)
     prepad[:, :94, :250] = frames[1:9]
