@@ -1369,12 +1369,12 @@ CONFIGS = {
         _bench_r160(
             "1080p_r160_fast", width=1920, height=1080,
             num_frames=min(frames, 256), chunk_size=64,
-            highest=False, score_passes=2,
+            highest=False, score_passes=1,
         ),
         _bench_r160(
             "4k_r160_fast", width=3840, height=2160,
             num_frames=min(frames, 128), chunk_size=32,
-            highest=False, score_passes=2,
+            highest=False, score_passes=1,
         ),
     ],
     # Round 5: the 1080p/160x160-template/r160 class — the one measured
@@ -1390,7 +1390,7 @@ CONFIGS = {
         _bench_r160(
             "1080p_t160_r160_fast", width=1920, height=1080, templ=160,
             num_frames=min(frames, 256), chunk_size=64,
-            highest=False, score_passes=2,
+            highest=False, score_passes=1,
         ),
     ],
     "5": lambda frames: bench_multi_object(),
