@@ -64,9 +64,16 @@ def parse_args(argv: List[str]):
     )
     p.add_argument(
         "--fast", action="store_true",
-        help="mega fast tier (3-pass bf16 hi/lo score dot; trajectory "
-             "identity is a measured per-clip property like every fast "
-             "engine)",
+        help="mega fast tier (bf16 score dot, see --score-passes; "
+             "trajectory identity is a measured per-clip property like "
+             "every fast engine)",
+    )
+    p.add_argument(
+        "--score-passes", type=int, default=3, choices=(1, 2, 3),
+        help="fast-tier MXU pass count (with --fast): 3 = bf16 hi/lo "
+             "(default), 2/1 trade score precision for throughput (1 is "
+             "the bench.py headline tier; keep 3 when confidence "
+             "thresholds do real work, e.g. occlusion-heavy fleets)",
     )
     p.add_argument(
         "--scan-backend", default="pallas_shear",
@@ -362,7 +369,8 @@ def _run_objects(args, feed, states, frame_shape, templ_wh, closers) -> int:
             feed, states, frame_shape, config,
             scan_backend=args.scan_backend,
             chunk_size=args.chunk_size, timings=timings,
-            highest=not args.fast, pipeline_depth=args.pipeline_depth,
+            highest=not args.fast, score_passes=args.score_passes,
+            pipeline_depth=args.pipeline_depth,
             prepad=not args.no_prepad,
         )
         elapsed = time.perf_counter() - t0
@@ -451,7 +459,8 @@ def _run_serving_grouped(
             feeds, states_list, frame_shapes, config,
             scan_backend=args.scan_backend,
             chunk_size=args.chunk_size, timings=timings,
-            highest=not args.fast, pipeline_depth=args.pipeline_depth,
+            highest=not args.fast, score_passes=args.score_passes,
+            pipeline_depth=args.pipeline_depth,
             prepad=not args.no_prepad, devices=devices,
         )
         elapsed = time.perf_counter() - t0
@@ -538,7 +547,8 @@ def _run_serving(args, feeds, states, frame_shape, templ_wh, closers) -> int:
             feeds, states, frame_shape, config,
             scan_backend=args.scan_backend,
             chunk_size=args.chunk_size, timings=timings,
-            highest=not args.fast, pipeline_depth=args.pipeline_depth,
+            highest=not args.fast, score_passes=args.score_passes,
+            pipeline_depth=args.pipeline_depth,
             prepad=not args.no_prepad, devices=devices,
         )
         elapsed = time.perf_counter() - t0

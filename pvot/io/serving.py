@@ -101,6 +101,7 @@ def serve_streams(
     chunk_size: int = 32,
     timings: Optional[list] = None,
     highest: bool = True,
+    score_passes: int = 3,
     pipeline_depth: int = 2,
     devices: Optional[Sequence] = None,
     prepad: bool = True,
@@ -124,8 +125,12 @@ def serve_streams(
     serves on the lockstep vmapped scan engines (make_multi_stream_step +
     make_stream_masked_scan_fn), where `backend` names the NCC engine.
 
-    highest=False runs the mega kernel's fast tier (3-pass bf16 hi/lo);
-    same trajectory-identity caveat as every fast engine.
+    highest=False runs the mega kernel's fast tier; score_passes picks
+    its MXU pass count (3 = bf16 hi/lo default; 2/1 trade score precision
+    for throughput — the bench.py headline runs 1).  Same
+    trajectory-identity caveat as every fast engine; occlusion-heavy
+    fleets whose confidence thresholds do real work should keep 3 (or
+    HIGHEST).
 
     pipeline_depth (mega path) is how many chunks may be in flight before
     the oldest one's records are fetched and poison-checked.  Depth 2
@@ -165,6 +170,7 @@ def serve_streams(
             frame_iters, states, frame_shape, config, backend, scan_backend,
             chunk_size, timings, highest, pipeline_depth, list(devices),
             prepad, interpret, _probe, inkernel_global,
+            score_passes=score_passes,
         )
     device = devices[0] if devices else None
     from pvot.config import TrackerConfig
@@ -198,7 +204,7 @@ def serve_streams(
                 frame_iters, states, frame_shape, config, chunk_size,
                 timings, scan_backend, highest, interpret,
                 max(1, pipeline_depth), device, prepad,
-                inkernel_global=mode,
+                inkernel_global=mode, score_passes=score_passes,
             )
         backend = scan_backend
 
@@ -224,6 +230,7 @@ def _serve_streams_multidevice(
     interpret: bool,
     _probe: bool,
     inkernel_global=None,
+    score_passes: int = 3,
 ):
     """Fan the streams out over devices: contiguous groups, one pipelined
     single-device driver per group in its own host thread.  Streams are
@@ -276,7 +283,7 @@ def _serve_streams_multidevice(
                 frame_iters[lo:hi], group_states, frame_shape, config,
                 chunk_size, group_timings, scan_backend, highest, interpret,
                 max(1, pipeline_depth), device, prepad,
-                inkernel_global=mode,
+                inkernel_global=mode, score_passes=score_passes,
             )
         else:
             final, outs = _serve_streams_scan(
@@ -314,6 +321,7 @@ def serve_streams_grouped(
     chunk_size: int = 32,
     timings: Optional[list] = None,
     highest: bool = True,
+    score_passes: int = 3,
     pipeline_depth: int = 2,
     devices: Optional[Sequence] = None,
     prepad: bool = True,
@@ -377,6 +385,7 @@ def serve_streams_grouped(
             [frame_iters[i] for i in idxs], stacked, key[0], config,
             backend=backend, scan_backend=scan_backend,
             chunk_size=chunk_size, timings=group_timings, highest=highest,
+            score_passes=score_passes,
             pipeline_depth=pipeline_depth, devices=dev, prepad=prepad,
             interpret=interpret, _probe=_probe,
             inkernel_global=inkernel_global,
@@ -418,6 +427,7 @@ def _serve_streams_mega(
     device=None,
     prepad: bool = True,
     inkernel_global: bool = False,
+    score_passes: int = 3,
 ):
     from collections import deque
 
@@ -457,6 +467,7 @@ def _serve_streams_mega(
             jax.device_put(buf, device), st, n_real,
             frame_shape=(h, w), templ_shape=(th, tw), config=config,
             interpret=interpret, highest=highest,
+            score_passes=score_passes,
             inkernel_global=inkernel_global,
         )
         rows.copy_to_host_async()
@@ -566,6 +577,7 @@ def serve_objects(
     chunk_size: int = 32,
     timings: Optional[list] = None,
     highest: bool = True,
+    score_passes: int = 3,
     pipeline_depth: int = 2,
     prepad: bool = True,
     interpret: bool = False,
@@ -625,7 +637,7 @@ def serve_objects(
                 frame_iter, states, frame_shape, config, chunk_size,
                 timings, scan_backend, highest, interpret,
                 max(1, pipeline_depth), prepad, inkernel_global=mode,
-                bucket_extents=bucket_extents,
+                bucket_extents=bucket_extents, score_passes=score_passes,
             )
         backend = scan_backend
 
@@ -698,6 +710,7 @@ def _serve_objects_mega(
     prepad: bool,
     inkernel_global: bool = False,
     bucket_extents=None,
+    score_passes: int = 3,
 ):
     from collections import deque
 
@@ -739,6 +752,7 @@ def _serve_objects_mega(
             jax.device_put(buf), st, n_real,
             frame_shape=(h, w), templ_shape=(th, tw), config=config,
             interpret=interpret, highest=highest,
+            score_passes=score_passes,
             inkernel_global=inkernel_global,
             bucket_extents=bucket_extents,
         )

@@ -119,6 +119,31 @@ def test_serve_streams_mega_interpret_unequal_lengths():
         assert int(final.bbox_x[s]) == int(want_state.bbox_x)
 
 
+def test_serve_streams_score_passes_plumbing():
+    """Round 5: serve_streams exposes the fast tier's MXU pass count; the
+    1-pass tier must reach the kernel and track the fixture (trajectory
+    vs the HIGHEST-tier serve; scores drift at fast-tier magnitude)."""
+    lengths = [9, 9]
+    videos, states, stacked = _make_streams(lengths)
+    kw = dict(
+        backend="mega", scan_backend="xla", chunk_size=4,
+        interpret=True, _probe=True,
+    )
+    _, outs_hi = serve_streams(
+        [iter(v[1:]) for v in videos], stacked, (94, 250), CONFIG, **kw
+    )
+    _, outs_f1 = serve_streams(
+        [iter(v[1:]) for v in videos], stacked, (94, 250), CONFIG,
+        highest=False, score_passes=1, **kw
+    )
+    for s in range(2):
+        np.testing.assert_array_equal(outs_hi[s].bbox, outs_f1[s].bbox)
+        drift = float(np.max(np.abs(
+            np.asarray(outs_hi[s].score) - np.asarray(outs_f1[s].score)
+        )))
+        assert 0.0 < drift < 2e-2, drift  # fast tier really ran
+
+
 @pytest.mark.parametrize("depth", [1, 2, 3])
 def test_serve_streams_mega_per_stream_poison(depth):
     """A stream that loses its object mid-serve poisons and re-runs ONLY
