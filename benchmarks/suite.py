@@ -1429,6 +1429,10 @@ CONFIGS = {
     # hi/lo score dot; trajectory-checked against ground truth like every
     # mega serving row).
     "7mf": lambda frames: bench_stream_sweep(sizes=(32,), backend="mega_fast"),
+    # Round 5: the rest of the fast-tier sweep (1-pass score dot).
+    "7mfa": lambda frames: bench_stream_sweep(sizes=(8,), backend="mega_fast"),
+    "7mfb": lambda frames: bench_stream_sweep(sizes=(16,), backend="mega_fast"),
+    "7mfd": lambda frames: bench_stream_sweep(sizes=(64,), backend="mega_fast"),
     # Heterogeneous serving (round 4): mixed frame/template geometries
     # through the grouped mega-call structure, staged device throughput.
     "7h": lambda frames: bench_hetero_serving(),
