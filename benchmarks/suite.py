@@ -457,6 +457,10 @@ def bench_multi_stream_mega(num_streams=8, width=1280, height=720, templ=80,
     return {
         "config": name,
         "backend": "mega" if highest else "mega_fast",
+        **({} if highest else {"tier": (
+            "fast_1pass_bf16" if score_passes == 1
+            else f"fast_{score_passes}pass_bf16_hilo"
+        )}),
         "value": round(fps, 2),
         "unit": "frames/s per stream (lockstep)",
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
@@ -808,7 +812,7 @@ def bench_stream_sweep(sizes=(8, 16, 32, 64), backend="fast"):
 
 def bench_multi_object_mega(num_objects=8, width=1280, height=720, templ=80,
                             num_frames=256, chunk_size=64, passes=2,
-                            highest=True):
+                            highest=True, score_passes=3):
     """Multi-object tracking on the MULTI-OBJECT mega kernel: K trackers
     over ONE shared clip per pallas_call (grid (K, F), shared-frame index
     map — pvot.ops.ncc_mega.mega_track_chunk_objects).  The vmapped scan
@@ -866,7 +870,7 @@ def bench_multi_object_mega(num_objects=8, width=1280, height=720, templ=80,
                 rows, st = mega_chunk_step_objects(
                     c, st, chunk_size,
                     frame_shape=(height, width), templ_shape=(h, w),
-                    config=config, highest=highest,
+                    config=config, highest=highest, score_passes=score_passes,
                 )
                 rows_all.append(rows)
         dev = jnp.concatenate(rows_all, axis=1)  # (K, P*F, TX)
@@ -1397,6 +1401,10 @@ CONFIGS = {
     # Multi-object on the multi-object mega kernel (grid (K, F), shared
     # frames) — the vmapped scan step (key 5) is the fallback path.
     "5m": lambda frames: bench_multi_object_mega(),
+    # Round 5: the multi-object mega row on the 1-pass fast tier.
+    "5mf": lambda frames: bench_multi_object_mega(
+        highest=False, score_passes=1, passes=4
+    ),
     "6": lambda frames: bench_multi_stream(),
     # Saturation sweep: aggregate FPS + MFU vs lockstep stream count.
     # One key per size — each runs in its own subprocess: even a single
